@@ -1,0 +1,64 @@
+"""Architecture registry (reference: ``models/gan/__init__.py:2-31``).
+
+``get_architecture(name, image_size)`` returns ``(G, D)`` linen modules:
+  * ``sndcgan``      — G_SNDCGAN + D_SNDCGAN(mlp_linear, d_hidden=512)
+  * ``snresnet18``   — G_SNDCGAN + D_SNResNet18(mlp_linear, d_hidden=1024)
+  * ``stylegan2``    — small32 StyleGAN2 G + ResidualDiscriminatorP(d_hidden=512)
+  * ``stylegan2_512``— full StyleGAN2 G/D with channel_multiplier=1.0
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from flax import linen as nn
+
+from contrad_tpu.models.base import (
+    Discriminator,
+    LinearClassifier,
+    l2_normalize_rows,
+)
+from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
+
+
+def get_architecture(
+    architecture: str, image_size: Tuple[int, int, int]
+) -> Tuple[nn.Module, Discriminator]:
+    if architecture == "sndcgan":
+        generator = GSndcgan(image_size=image_size)
+        discriminator = DSndcgan(image_size=image_size, mlp_linear=True, d_hidden=512)
+    elif architecture == "snresnet18":
+        from contrad_tpu.models.snresnet import DSnresnet18
+
+        generator = GSndcgan(image_size=image_size)
+        discriminator = DSnresnet18(mlp_linear=True, d_hidden=1024)
+    elif architecture == "stylegan2":
+        from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2
+
+        resolution = image_size[0]
+        generator = GStylegan2(size=resolution, n_mlp=8, small32=True)
+        discriminator = DStylegan2(
+            size=resolution, small32=True, mlp_linear=True, d_hidden=512
+        )
+    elif architecture == "stylegan2_512":
+        from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2
+
+        resolution = image_size[0]
+        generator = GStylegan2(size=resolution, n_mlp=8, channel_multiplier=1.0)
+        discriminator = DStylegan2(
+            size=resolution, channel_multiplier=1.0, mlp_linear=True, d_hidden=512
+        )
+    else:
+        raise NotImplementedError(f"unknown architecture: {architecture}")
+
+    return generator, discriminator
+
+
+__all__ = [
+    "get_architecture",
+    "Discriminator",
+    "LinearClassifier",
+    "l2_normalize_rows",
+    "GSndcgan",
+    "DSndcgan",
+]

@@ -1,0 +1,161 @@
+"""Batched affine grid resampling (TPU-native grid_sample / affine_grid).
+
+The reference implements every spatial augmentation (hflip, random crop,
+random-resized crop) as per-sample 2x3 affine matrices fed through torch's
+``affine_grid`` + ``grid_sample`` (reference ``augment/spatial.py``). This
+module provides the same primitive as pure, fixed-shape jnp ops: coordinate
+generation + padding-mode handling + bilinear/nearest gathers, vmapped over
+the batch. XLA lowers the gathers to vectorized dynamic-slices that fuse with
+the surrounding augmentation arithmetic.
+
+Conventions match torch with ``align_corners=False``:
+  * normalized output coords x = (2j+1)/W - 1
+  * ``reflection`` padding reflects about -0.5 and S-0.5, then clamps
+  * ``zeros`` padding zeroes contributions from out-of-bounds corners
+
+Layout is NHWC (TPU-native; reference is NCHW).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def affine_grid(theta: jax.Array, height: int, width: int) -> jax.Array:
+    """theta: (N, 2, 3) -> sampling grid (N, H, W, 2) in normalized coords.
+
+    grid[..., 0] is the x (width) coordinate, grid[..., 1] the y (height)
+    coordinate, as in torch.nn.functional.affine_grid(align_corners=False).
+    """
+    xs = (2.0 * jnp.arange(width, dtype=jnp.float32) + 1.0) / width - 1.0
+    ys = (2.0 * jnp.arange(height, dtype=jnp.float32) + 1.0) / height - 1.0
+    base_x = jnp.broadcast_to(xs[None, :], (height, width))
+    base_y = jnp.broadcast_to(ys[:, None], (height, width))
+    ones = jnp.ones((height, width), dtype=jnp.float32)
+    base = jnp.stack([base_x, base_y, ones], axis=-1)  # (H, W, 3)
+    # (N, 2, 3) @ (H, W, 3) -> (N, H, W, 2)
+    grid = jnp.einsum("nij,hwj->nhwi", theta.astype(jnp.float32), base)
+    return grid
+
+
+def _reflect_coords(coords: jax.Array, size: int) -> jax.Array:
+    """Reflect float pixel coords about -0.5 and size-0.5 (align_corners=False)."""
+    if size == 1:
+        return jnp.zeros_like(coords)
+    span = 2.0 * size
+    c = jnp.mod(coords + 0.5, span)
+    c = jnp.where(c >= size, span - c, c)  # fold the second half back
+    return jnp.clip(c - 0.5, 0.0, size - 1.0)
+
+
+def _prep_coords(ix, iy, height, width, padding_mode):
+    """Apply the padding mode to float coords; return coords + in-bounds mask."""
+    if padding_mode == "zeros":
+        mask = (
+            (ix >= -0.5)
+            & (ix <= width - 0.5)
+            & (iy >= -0.5)
+            & (iy <= height - 0.5)
+        )
+        return ix, iy, mask
+    if padding_mode == "border":
+        return jnp.clip(ix, 0, width - 1), jnp.clip(iy, 0, height - 1), None
+    if padding_mode == "reflection":
+        return _reflect_coords(ix, width), _reflect_coords(iy, height), None
+    raise ValueError(f"unknown padding_mode: {padding_mode}")
+
+
+def _gather_hw(img: jax.Array, yi: jax.Array, xi: jax.Array) -> jax.Array:
+    """img (H, W, C); yi/xi int (Ho, Wo) -> (Ho, Wo, C)."""
+    return img[yi, xi]
+
+
+def _grid_sample_single(img, grid, mode, padding_mode):
+    """img (H, W, C), grid (Ho, Wo, 2) normalized -> (Ho, Wo, C)."""
+    h, w = img.shape[0], img.shape[1]
+    # Unnormalize (align_corners=False).
+    ix = ((grid[..., 0] + 1.0) * w - 1.0) / 2.0
+    iy = ((grid[..., 1] + 1.0) * h - 1.0) / 2.0
+
+    if mode == "nearest":
+        ixp, iyp, mask = _prep_coords(ix, iy, h, w, padding_mode)
+        # round-half-to-even, matching torch's nearbyint-based nearest mode
+        xi = jnp.clip(jnp.round(ixp).astype(jnp.int32), 0, w - 1)
+        yi = jnp.clip(jnp.round(iyp).astype(jnp.int32), 0, h - 1)
+        out = _gather_hw(img, yi, xi)
+        if mask is not None:
+            out = out * mask[..., None].astype(img.dtype)
+        return out
+
+    if mode != "bilinear":
+        raise ValueError(f"unknown mode: {mode}")
+
+    if padding_mode == "zeros":
+        # Per-corner masking: each neighbor contributes 0 when out of bounds.
+        x0f = jnp.floor(ix)
+        y0f = jnp.floor(iy)
+        wx = ix - x0f
+        wy = iy - y0f
+        out = None
+        for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
+            cx = x0f + dx
+            cy = y0f + dy
+            weight = (wx if dx else (1.0 - wx)) * (wy if dy else (1.0 - wy))
+            valid = (cx >= 0) & (cx <= w - 1) & (cy >= 0) & (cy <= h - 1)
+            xi = jnp.clip(cx.astype(jnp.int32), 0, w - 1)
+            yi = jnp.clip(cy.astype(jnp.int32), 0, h - 1)
+            contrib = _gather_hw(img, yi, xi) * (
+                weight * valid.astype(jnp.float32)
+            )[..., None].astype(img.dtype)
+            out = contrib if out is None else out + contrib
+        return out
+
+    ixp, iyp, _ = _prep_coords(ix, iy, h, w, padding_mode)
+    x0f = jnp.floor(ixp)
+    y0f = jnp.floor(iyp)
+    wx = ixp - x0f
+    wy = iyp - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, w - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, h - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    p00 = _gather_hw(img, y0, x0)
+    p01 = _gather_hw(img, y0, x1)
+    p10 = _gather_hw(img, y1, x0)
+    p11 = _gather_hw(img, y1, x1)
+    wx = wx[..., None].astype(img.dtype)
+    wy = wy[..., None].astype(img.dtype)
+    top = p00 * (1 - wx) + p01 * wx
+    bot = p10 * (1 - wx) + p11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def grid_sample(
+    images: jax.Array,
+    grid: jax.Array,
+    mode: str = "bilinear",
+    padding_mode: str = "zeros",
+) -> jax.Array:
+    """Batched grid sample. images (N, H, W, C), grid (N, Ho, Wo, 2)."""
+    return jax.vmap(lambda im, g: _grid_sample_single(im, g, mode, padding_mode))(
+        images, grid
+    )
+
+
+def affine_transform(
+    images: jax.Array,
+    theta: jax.Array,
+    mode: str = "bilinear",
+    padding_mode: str = "reflection",
+) -> jax.Array:
+    """Apply per-sample 2x3 affine matrices to an NHWC batch (output same size)."""
+    n, h, w, _ = images.shape
+    grid = affine_grid(theta, h, w)
+    return grid_sample(images, grid, mode=mode, padding_mode=padding_mode)
+
+
+def identity_theta(n: int) -> jax.Array:
+    """(N, 2, 3) identity affine matrices."""
+    eye = jnp.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]], dtype=jnp.float32)
+    return jnp.broadcast_to(eye, (n, 2, 3))

@@ -1,0 +1,47 @@
+"""Device mesh and sharding helpers.
+
+TPU-native replacement for the reference's parallelism stack
+(``train_gan.py:239-242,311-313``: NCCL process group + DDP + SyncBatchNorm +
+DistributedSampler + per-step barriers): a single 'data' mesh axis, batch
+arrays sharded on it, parameters replicated, and ONE jitted step compiled over
+the mesh. All communication (grad all-reduce, contrastive-negative all-gather,
+BN stat reduction) is inserted by XLA over ICI; no barriers, no gather layers.
+
+Multi-host extension: call ``jax.distributed.initialize()`` first and the same
+mesh code covers DCN-connected slices.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def get_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place a host array as a batch-sharded global device array."""
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def replicate(tree, mesh: Mesh):
+    return jax.device_put(tree, replicated(mesh))

@@ -1,0 +1,88 @@
+"""Discriminator penalties (reference: ``penalty.py``).
+
+``compute_penalty(mode, ...)`` dispatches:
+  * ``none`` — zero (reference ``penalty.py:12``)
+  * ``gp``   — WGAN-GP interpolated gradient penalty (``penalty.py:16-42``):
+               grad-of-D w.r.t. the interpolated input, a nested ``jax.grad``
+               inside the parameter grad (grad-of-grad compiles fine on TPU).
+  * ``cr``   — consistency: lbd * E[(D(x) - D(aug(x)))^2] (``penalty.py:45-47``)
+  * ``bcr``  — balanced CR on reals and fakes with lbd/lbd2 (``penalty.py:50-58``)
+
+Penalty-internal D calls do not persist spectral-norm/BN state updates (the
+main D pass owns the one-power-iteration-per-step semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+DApply = Callable  # (params, state, x, *, train, sg_linear, update_state) -> ((d, aux), new_state)
+
+
+def gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd):
+    n = images.shape[0]
+    alpha = jax.random.uniform(rng, (n,) + (1,) * (images.ndim - 1))
+    interp = alpha * jax.lax.stop_gradient(images) + (1.0 - alpha) * jax.lax.stop_gradient(
+        gen_images
+    )
+
+    def d_sum(x):
+        (d, _), _ = d_apply(d_params, d_state, x, train=True, update_state=False)
+        return jnp.sum(d)
+
+    grads = jax.grad(d_sum)(interp)  # per-sample grads since D outputs are per-sample
+    grads = grads.reshape(n, -1)
+    norms = jnp.linalg.norm(grads, axis=1)
+    return lbd * jnp.mean((norms - 1.0) ** 2)
+
+
+def consistency(d_apply, d_params, d_state, images, d_real, augment_fn, rng, lbd):
+    (d_aug, _), _ = d_apply(
+        d_params, d_state, augment_fn(rng, images), train=True, update_state=False
+    )
+    return lbd * jnp.mean((d_real - d_aug) ** 2)
+
+
+def balanced_consistency(
+    d_apply, d_params, d_state, all_images, d_real, d_gen, augment_fn, rng, lbd, lbd2
+):
+    (d_aug_all, _), _ = d_apply(
+        d_params, d_state, augment_fn(rng, all_images), train=True, update_state=False
+    )
+    n = all_images.shape[0] // 2
+    d_aug_real, d_aug_gen = d_aug_all[:n], d_aug_all[n:]
+    reg_real = jnp.mean((d_real - d_aug_real) ** 2)
+    reg_gen = jnp.mean((d_gen - d_aug_gen) ** 2)
+    return lbd * reg_real + lbd2 * reg_gen
+
+
+def compute_penalty(
+    mode: str,
+    *,
+    d_apply: DApply,
+    d_params,
+    d_state,
+    images,
+    gen_images,
+    all_images,
+    d_real,
+    d_gen,
+    augment_fn,
+    rng,
+    lbd: float,
+    lbd2: float,
+):
+    if mode == "none":
+        return jnp.zeros(())
+    if mode == "gp":
+        return gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd)
+    if mode == "cr":
+        return consistency(d_apply, d_params, d_state, images, d_real, augment_fn, rng, lbd)
+    if mode == "bcr":
+        return balanced_consistency(
+            d_apply, d_params, d_state, all_images, d_real, d_gen, augment_fn, rng, lbd, lbd2
+        )
+    raise NotImplementedError(f"unknown penalty: {mode}")

@@ -1,0 +1,104 @@
+"""Train state: a single pytree carrying everything the jitted step mutates.
+
+Replaces the reference's scattered mutable objects (module buffers, optimizer
+objects, DDP wrappers, `set_grad` toggling — ``train_gan.py:143-180``) with one
+functional state, which also makes checkpoint/resume exact: G, D, both Adam
+states, EMA, step counter and PRNG key are saved/restored together (the
+reference forgets RNG state and FID history on resume — SURVEY §5).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class GANTrainState:
+    step: jax.Array  # int32 scalar, number of completed steps
+    rng: jax.Array  # PRNG key threaded through training
+    g_params: Any
+    g_state: Any  # mutable collections of G (e.g. {'batch_stats': ...})
+    d_params: Any
+    d_state: Any  # mutable collections of D (e.g. {'spectral': ...})
+    g_opt_state: Any
+    d_opt_state: Any
+    g_ema_params: Optional[Any] = None  # EMA of G params (StyleGAN2 trainers)
+    g_ema_state: Optional[Any] = None
+
+
+def make_optimizer(
+    lr: float,
+    beta: Tuple[float, float],
+    warmup: int = 0,
+    use_warmup: bool = False,
+    lr_decay_fn=None,
+) -> optax.GradientTransformation:
+    """Adam with the reference's linear LR warmup
+    (``train_gan.py:88-93``: lr * min(1, (step+1)/warmup)) and an optional
+    multiplicative decay schedule (StyleGAN2 half-life decay)."""
+
+    def schedule(count):
+        lr_t = jnp.asarray(lr, dtype=jnp.float32)
+        if use_warmup and warmup > 0:
+            lr_t = lr_t * jnp.minimum(1.0, (count + 1.0) / warmup)
+        if lr_decay_fn is not None:
+            lr_t = lr_t * lr_decay_fn(count)
+        return lr_t
+
+    return optax.adam(schedule, b1=beta[0], b2=beta[1])
+
+
+def split_variables(variables: dict) -> Tuple[Any, dict]:
+    """Split linen init() output into (params, mutable_state_collections)."""
+    params = variables.get("params", {})
+    state = {k: v for k, v in variables.items() if k != "params"}
+    return params, state
+
+
+def create_train_state(
+    rng: jax.Array,
+    generator,
+    discriminator,
+    image_size: Tuple[int, int, int],
+    g_optimizer: optax.GradientTransformation,
+    d_optimizer: optax.GradientTransformation,
+    ema: bool = False,
+    init_batch: int = 2,
+) -> GANTrainState:
+    """Initialize all model/optimizer state with tiny dummy batches."""
+    h, w, c = image_size
+    rng, g_rng, d_rng, z_rng, next_rng = jax.random.split(rng, 5)
+    z = generator.sample_latent(z_rng, init_batch)
+    g_vars = generator.init(g_rng, z, train=True)
+    g_params, g_state = split_variables(g_vars)
+
+    dummy = jnp.zeros((init_batch, h, w, c), dtype=jnp.float32)
+    d_vars = discriminator.init(d_rng, dummy, train=True)
+    d_params, d_state = split_variables(d_vars)
+
+    return GANTrainState(
+        step=jnp.zeros((), dtype=jnp.int32),
+        rng=next_rng,
+        g_params=g_params,
+        g_state=g_state,
+        d_params=d_params,
+        d_state=d_state,
+        g_opt_state=g_optimizer.init(g_params),
+        d_opt_state=d_optimizer.init(d_params),
+        g_ema_params=jax.tree.map(jnp.copy, g_params) if ema else None,
+        g_ema_state=jax.tree.map(jnp.copy, g_state) if ema else None,
+    )
+
+
+def ema_update(ema_params, params, decay):
+    """Pure-pytree EMA lerp (reference ``utils.py:130-143`` accumulate)."""
+    return jax.tree.map(lambda e, p: e * decay + p * (1.0 - decay), ema_params, params)
+
+
+def count_parameters(params) -> int:
+    return sum(int(jnp.size(x)) for x in jax.tree.leaves(params))

@@ -1,0 +1,39 @@
+"""Test harness: run everything on an 8-device virtual CPU mesh.
+
+This is how multi-chip sharding is validated without a TPU pod (SURVEY §4):
+``xla_force_host_platform_device_count`` gives 8 CPU devices, so the SPMD
+train step compiles and runs with real collectives.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force off the real TPU: fast, f32-exact
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402  (import after env setup)
+
+# The hosted "axon" TPU plugin can take precedence over the env var; force it.
+jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual devices, got {len(devs)}"
+    return devs
+
+
+@pytest.fixture
+def rng():
+    return jax.random.PRNGKey(0)
+
+
+@pytest.fixture
+def np_rng():
+    return np.random.default_rng(0)

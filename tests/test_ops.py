@@ -1,0 +1,132 @@
+"""Ops tests: spectral norm (vs exact SVD + torch semantics), grid_sample /
+affine_grid (vs torch.nn.functional as an independent oracle), fused act."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as TF
+
+from contrad_tpu.ops.fused_act import fused_leaky_relu
+from contrad_tpu.ops.resample import affine_grid, affine_transform, grid_sample
+from contrad_tpu.ops.spectral_norm import SNConv, SNDense
+
+
+# ---------------------------------------------------------------- spectral norm
+
+def test_sn_dense_converges_to_unit_sigma(rng, np_rng):
+    """After many power iterations, the effective weight has sigma ~= 1."""
+    layer = SNDense(16, use_bias=False)
+    x = jnp.asarray(np_rng.normal(size=(4, 32)).astype(np.float32))
+    variables = layer.init(rng, x, train=True)
+    params, spectral = variables["params"], variables["spectral"]
+
+    state = {"spectral": spectral}
+    for _ in range(50):
+        _, mut = layer.apply({"params": params, **state}, x, train=True,
+                             mutable=["spectral"])
+        state = mut
+
+    y, _ = layer.apply({"params": params, **state}, x, train=True,
+                       mutable=["spectral"])
+    w = np.asarray(params["kernel"])  # (in, out)
+    sigma = np.linalg.svd(w.T, compute_uv=False)[0]
+    # y should equal x @ (w / sigma)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x) @ (w / sigma),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_sn_state_updates_only_when_mutable(rng, np_rng):
+    layer = SNDense(8, use_bias=False)
+    x = jnp.asarray(np_rng.normal(size=(2, 8)).astype(np.float32))
+    variables = layer.init(rng, x, train=True)
+    u0 = np.asarray(variables["spectral"]["u"])
+
+    # train=True with mutable -> u changes
+    _, mut = layer.apply(variables, x, train=True, mutable=["spectral"])
+    u1 = np.asarray(mut["spectral"]["u"])
+    assert not np.allclose(u0, u1)
+
+    # train=False -> u unchanged even if mutable
+    _, mut2 = layer.apply(variables, x, train=False, mutable=["spectral"])
+    u2 = np.asarray(mut2["spectral"]["u"])
+    np.testing.assert_allclose(u0, u2)
+
+
+def test_sn_conv_spectral_norm_bounded(rng, np_rng):
+    """The 2-D reshaped conv kernel must have top singular value 1 after
+    normalization (checked by power-iterating to convergence)."""
+    layer = SNConv(8, (3, 3), kernel_init=jax.nn.initializers.normal(2.0))
+    x = jnp.asarray(np_rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    variables = layer.init(rng, x, train=True)
+    state = {"spectral": variables["spectral"]}
+    for _ in range(100):
+        _, state = layer.apply({"params": variables["params"], **state}, x,
+                               train=True, mutable=["spectral"])
+    w = np.asarray(variables["params"]["kernel"])  # HWIO
+    w2d = np.moveaxis(w, -1, 0).reshape(w.shape[-1], -1)
+    sigma = np.linalg.svd(w2d, compute_uv=False)[0]
+    u = np.asarray(state["spectral"]["u"])
+    # power iteration found the top singular direction
+    est = np.linalg.norm(w2d.T @ u)
+    np.testing.assert_allclose(est, sigma, rtol=1e-3)
+
+
+# ---------------------------------------------------------------- resampling
+
+def _torch_affine(images_nhwc, theta, mode, padding_mode):
+    x = torch.from_numpy(np.transpose(images_nhwc, (0, 3, 1, 2)))
+    t = torch.from_numpy(theta)
+    grid = TF.affine_grid(t, x.shape, align_corners=False)
+    y = TF.grid_sample(x, grid, mode=mode, padding_mode=padding_mode,
+                       align_corners=False)
+    return np.transpose(y.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+def test_affine_transform_matches_torch(mode, padding, np_rng):
+    images = np_rng.uniform(size=(3, 16, 16, 2)).astype(np.float32)
+    theta = np.stack([
+        np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]),   # identity
+        np.array([[-1.0, 0.0, 0.25], [0.0, 1.0, -0.3]]),  # flip + shift
+        np.array([[0.5, 0.1, 0.2], [-0.1, 0.7, 0.0]]),  # scale + shear
+    ]).astype(np.float32)
+
+    got = affine_transform(jnp.asarray(images), jnp.asarray(theta),
+                           mode=mode, padding_mode=padding)
+    want = _torch_affine(images, theta, mode, padding)
+    if mode == "nearest":
+        # Ties at exact half-pixels may round differently; compare off-tie pixels.
+        agree = np.isclose(np.asarray(got), want, atol=1e-5).mean()
+        assert agree > 0.97, f"nearest agreement too low: {agree}"
+    else:
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-5)
+
+
+def test_affine_grid_matches_torch(np_rng):
+    theta = np_rng.normal(size=(2, 2, 3)).astype(np.float32)
+    got = affine_grid(jnp.asarray(theta), 7, 5)
+    want = TF.affine_grid(torch.from_numpy(theta), (2, 3, 7, 5),
+                          align_corners=False).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+def test_grid_sample_gradients(np_rng):
+    images = jnp.asarray(np_rng.uniform(size=(2, 8, 8, 3)).astype(np.float32))
+    theta = jnp.asarray(np.tile(np.array([[0.8, 0.0, 0.1], [0.0, 0.8, 0.0]],
+                                         dtype=np.float32), (2, 1, 1)))
+    g = jax.grad(lambda im: jnp.sum(affine_transform(im, theta) ** 2))(images)
+    assert float(jnp.abs(g).sum()) > 0
+
+
+# ---------------------------------------------------------------- fused act
+
+def test_fused_leaky_relu(np_rng):
+    x = jnp.asarray(np_rng.normal(size=(2, 4, 4, 8)).astype(np.float32))
+    b = jnp.asarray(np_rng.normal(size=(8,)).astype(np.float32))
+    got = fused_leaky_relu(x, b)
+    ref = np.asarray(x) + np.asarray(b).reshape(1, 1, 1, 8)
+    ref = np.where(ref >= 0, ref, 0.2 * ref) * np.sqrt(2.0)
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
