@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Benchmark: SNDCGAN+ContraD training throughput on the flagship recipe.
+
+Measures the full ContraD train step (G fwd, SimCLR augmentation of the
+[real, real, fake] 3N batch, D fwd/bwd with both contrastive losses, G bwd,
+both Adam updates, spectral-norm power iterations) at the reference's
+flagship CIFAR-10 configuration: 32x32x3, global batch 512, mode=contrad,
+aug=simclr (reference EXPERIMENTS.md:15, c10_b512.gin).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline: the reference implementation on a single V100 (its documented
+hardware class — environment.yml pins cudatoolkit 10.1). The repo publishes
+no throughput numbers (BASELINE.md), so the baseline constant below is an
+estimate from the step's FLOP count (~9 GFLOP/image for the 3N contrad step)
+against V100 fp32 at a generous 35% utilization => ~500 imgs/sec.
+"""
+
+import json
+import time
+
+V100_BASELINE_IMGS_PER_SEC = 500.0
+
+BATCH = 512
+IMAGE_SIZE = (32, 32, 3)
+WARMUP_STEPS = 3
+MEASURE_STEPS = 20
+
+
+def main():
+    import jax
+    import numpy as np
+
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.models import get_architecture
+    from contrad_tpu.parallel import get_mesh
+    from contrad_tpu.training import GANTrainer, create_train_state, make_optimizer
+
+    generator, discriminator = get_architecture("sndcgan", IMAGE_SIZE)
+    g_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
+    d_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
+    mesh = get_mesh()
+    n_chips = len(mesh.devices.ravel())
+
+    trainer = GANTrainer(
+        generator, discriminator, mode="contrad",
+        augment_fn=get_augment("simclr"),
+        g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+        temp=0.1, lbd_a=1.0, mesh=mesh)
+
+    state = trainer.place_state(create_train_state(
+        jax.random.PRNGKey(0), generator, discriminator, IMAGE_SIZE,
+        g_opt, d_opt))
+
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 256, size=(BATCH,) + IMAGE_SIZE, dtype=np.uint8)
+    batch = trainer.place_batch(data)
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = trainer.train_step(state, batch)
+    jax.block_until_ready(state.g_params)
+
+    t0 = time.perf_counter()
+    for _ in range(MEASURE_STEPS):
+        state, metrics = trainer.train_step(state, batch)
+    jax.block_until_ready(state.g_params)
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = BATCH * MEASURE_STEPS / dt
+    imgs_per_sec_per_chip = imgs_per_sec / n_chips
+    print(json.dumps({
+        "metric": "sndcgan_contrad_cifar10_b512_train_throughput",
+        "value": round(imgs_per_sec_per_chip, 1),
+        "unit": "imgs/sec/chip",
+        "vs_baseline": round(imgs_per_sec_per_chip / V100_BASELINE_IMGS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

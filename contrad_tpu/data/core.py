@@ -1,0 +1,75 @@
+"""Dataset containers and the infinite shuffled batch iterator.
+
+Replaces the reference's DataLoader + DistributedSampler + ``cycle``
+(``train_gan.py:245-251``, ``utils.py:89-96``): there is one logical global
+batch per step (the mesh shards it), epochs reshuffle deterministically from a
+seed, and batches stay uint8 until inside the jitted step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """uint8 NHWC images (+ int labels) in RAM or memmap."""
+
+    images: np.ndarray  # (N, H, W, C) uint8
+    labels: Optional[np.ndarray] = None  # (N,) int64
+    train_aug: str = "none"  # on-device aug the reference baked into transforms
+    n_classes: int = 1
+
+    def __post_init__(self):
+        assert self.images.dtype == np.uint8, "datasets carry uint8 images"
+        if self.labels is None:
+            self.labels = np.zeros((len(self.images),), dtype=np.int64)
+
+    def __len__(self) -> int:
+        return len(self.images)
+
+    @property
+    def image_size(self) -> Tuple[int, int, int]:
+        return tuple(self.images.shape[1:])
+
+
+class BatchIterator:
+    """Infinite iterator of shuffled (images, labels) uint8 batches.
+
+    Deterministic given (seed, epoch) — the equivalent of the reference's
+    ``DistributedSampler.set_epoch`` reshuffle (``utils.py:89-96``), but
+    producing the *global* batch; sharding over devices happens at
+    ``device_put``. Epoch remainders are dropped (steady shapes keep XLA from
+    recompiling)."""
+
+    def __init__(self, dataset: ArrayDataset, batch_size: int, seed: int = 0,
+                 start_epoch: int = 0):
+        if batch_size > len(dataset):
+            raise ValueError(
+                f"batch_size {batch_size} exceeds dataset size {len(dataset)}")
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.seed = seed
+        self.epoch = start_epoch
+        self._order = None
+        self._pos = 0
+
+    def _reshuffle(self):
+        rng = np.random.default_rng((self.seed, self.epoch))
+        self._order = rng.permutation(len(self.dataset))
+        self._pos = 0
+
+    def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
+        if self._order is None or self._pos + self.batch_size > len(self._order):
+            if self._order is not None:
+                self.epoch += 1
+            self._reshuffle()
+        idx = self._order[self._pos : self._pos + self.batch_size]
+        self._pos += self.batch_size
+        return self.dataset.images[idx], self.dataset.labels[idx]

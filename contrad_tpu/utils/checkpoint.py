@@ -1,0 +1,54 @@
+"""Checkpoint / resume via orbax.
+
+One durable artifact: the whole :class:`GANTrainState` pytree (G, D, EMA, both
+Adam states, step counter, PRNG key). This closes the reference's resume gaps
+(SURVEY §5: torch checkpoints omit RNG state and store EMA/opt separately —
+``train_gan.py:211-225``). Layout under the logdir:
+
+  ckpt/latest    — overwritten each eval (reference gen.pt/dis.pt/optim.pt)
+  ckpt/best      — best-FID copy (reference gen_best.pt/dis_best.pt)
+  ckpt/step_N    — step-stamped copies every save_every (reference gen_N.pt)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from contrad_tpu.training.state import GANTrainState
+
+
+def _ckpt_dir(logdir: str) -> str:
+    return os.path.join(os.path.abspath(logdir), "ckpt")
+
+
+def save_checkpoint(logdir: str, state: GANTrainState, name: str = "latest"):
+    path = os.path.join(_ckpt_dir(logdir), name)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+
+
+def restore_checkpoint(
+    logdir: str, template: GANTrainState, name: str = "latest"
+) -> GANTrainState:
+    """Restore into the sharding/structure of ``template`` (a freshly
+    initialized state)."""
+    path = os.path.join(_ckpt_dir(logdir), name)
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
+    return ckptr.restore(path, abstract)
+
+
+def has_checkpoint(logdir: str, name: str = "latest") -> bool:
+    return os.path.isdir(os.path.join(_ckpt_dir(logdir), name))
+
+
+def latest_step(logdir: str, template: GANTrainState) -> Optional[int]:
+    if not has_checkpoint(logdir):
+        return None
+    state = restore_checkpoint(logdir, template)
+    return int(state.step)

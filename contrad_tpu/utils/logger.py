@@ -1,0 +1,89 @@
+"""Run-dir Logger (reference: ``utils.py:15-74``).
+
+Keeps the reference's observable surface: ``logs/<subdir>/<run-name>/<rand>``
+layout, plaintext ``log.txt`` with timestamps, tensorboard scalars under the
+same tag names (``gan/train/{G_loss,D_loss,D_penalty,D_real,D_gen}``,
+``gan/test/fid[/best]``), FID CSV, and the config copied into the logdir.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import os
+import sys
+from datetime import datetime
+from typing import Optional
+
+import numpy as np
+
+
+class Logger:
+    def __init__(self, fn: Optional[str], subdir: Optional[str] = None,
+                 resume: Optional[str] = None, root: str = "logs",
+                 rand: Optional[int] = None):
+        if resume:
+            logdir = resume
+            if not os.path.isdir(logdir):
+                raise OSError(f"logdir does not exist: {logdir}")
+        else:
+            if subdir is None:
+                subdir = datetime.today().strftime("%y%m%d")
+            if rand is None:
+                rand = np.random.randint(10000)
+            logdir = os.path.join(root, subdir, fn or "run", str(rand))
+            os.makedirs(logdir, exist_ok=True)
+        self.logdir = logdir
+        self._writer = None
+        self.log_file = open(os.path.join(logdir, "log.txt"), "a")
+
+    @property
+    def writer(self):
+        if self._writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._writer = SummaryWriter(self.logdir)
+            except Exception:  # tensorboard optional; scalars also go to JSONL
+                self._writer = False
+        return self._writer
+
+    def log(self, string):
+        line = f"[{datetime.now()}] {string}"
+        self.log_file.write(line + "\n")
+        self.log_file.flush()
+        print(line)
+        sys.stdout.flush()
+
+    def log_dirname(self, string):
+        line = f"{string} ({self.logdir})"
+        self.log_file.write(line + "\n")
+        self.log_file.flush()
+        print(line)
+        sys.stdout.flush()
+
+    def scalar_summary(self, tag: str, value, step: int):
+        value = float(value)
+        if self.writer:
+            self.writer.add_scalar(tag, value, step)
+        with open(os.path.join(self.logdir, "scalars.jsonl"), "a") as f:
+            f.write(json.dumps({"tag": tag, "value": value, "step": int(step)}) + "\n")
+
+    def image_summary(self, tag: str, image, step: int):
+        if self.writer:
+            self.writer.add_image(tag, image, step, dataformats="HWC")
+
+    def close(self):
+        if self._writer:
+            self._writer.close()
+        self.log_file.close()
+
+
+def append_csv(path: str, header, row):
+    """FID CSV (reference evaluate/gan.py:147-159 schema)."""
+    exists = os.path.exists(path)
+    with open(path, "a", newline="") as f:
+        w = csv.writer(f)
+        if not exists:
+            w.writerow(header)
+        w.writerow(row)

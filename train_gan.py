@@ -1,0 +1,229 @@
+#!/usr/bin/env python
+"""GAN training CLI (reference: ``train_gan.py``).
+
+Command parity with the reference DDP script:
+
+    python train_gan.py configs/gan/cifar10/c10_b512.toml sndcgan \
+        --mode contrad --aug simclr --use_warmup
+
+but TPU-native: no process spawning, no NCCL, no DDP wrappers — one jitted
+SPMD train step over a ``jax.sharding.Mesh`` of all local devices. The
+reference's per-GPU batch splitting (``train_gan.py:245-251``), SyncBatchNorm
+conversion (``:268-269``), DDP wrap (``:311-313``) and per-step barriers
+(``:227``) have no equivalent here; the mesh shards the global batch and XLA
+inserts the collectives.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="TPU-native GAN training (ContraD)")
+    p.add_argument("config", type=str, help="Path to the experiment TOML config")
+    p.add_argument("architecture", type=str, help="Architecture (e.g. sndcgan)")
+
+    p.add_argument("--mode", default="std", type=str,
+                   help="Training mode: std|aug|aug_both|simclr_only|contrad")
+    p.add_argument("--penalty", default="none", type=str,
+                   help="Penalty: none|gp|cr|bcr")
+    p.add_argument("--aug", default="none", type=str,
+                   help="Augmentation: none|hflip|hfrt|simclr|simclr_hq|... ")
+    p.add_argument("--use_warmup", action="store_true", help="Linear LR warmup")
+
+    p.add_argument("--temp", default=0.1, type=float,
+                   help="Temperature for contrastive losses")
+    p.add_argument("--lbd_a", default=1.0, type=float,
+                   help="Relative strength of the ContraD fake (supcon) loss")
+
+    p.add_argument("--no_fid", action="store_true")
+    p.add_argument("--no_gif", action="store_true")
+    p.add_argument("--n_eval_avg", default=3, type=int)
+    p.add_argument("--print_every", default=50, type=int)
+    p.add_argument("--evaluate_every", default=2000, type=int)
+    p.add_argument("--save_every", default=100000, type=int)
+    p.add_argument("--comment", default="", type=str)
+
+    p.add_argument("--resume", default=None, type=str,
+                   help="Path to logdir to resume training from")
+    p.add_argument("--finetune", default=None, type=str,
+                   help="Path to logdir with a pre-trained D checkpoint")
+
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
+                   help="cpu forces the host platform (debug/smoke)")
+    p.add_argument("--override", nargs="*", default=[],
+                   help="Config overrides like options.lr=1e-4")
+    p.add_argument("--logdir_root", default="logs", type=str)
+    return p.parse_args()
+
+
+def main():
+    P = parse_args()
+    if P.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+
+    import jax  # deferred so --platform can set env first
+
+    if P.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import imageio
+    import jax.numpy as jnp
+
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.config import default_config_files, finalize_options, load_config
+    from contrad_tpu.data import BatchIterator, get_dataset
+    from contrad_tpu.evaluate import FixedSampleGeneration, ImageGrid, to_uint8
+    from contrad_tpu.models import get_architecture
+    from contrad_tpu.parallel import get_mesh
+    from contrad_tpu.training import (
+        GANTrainer, count_parameters, create_train_state, make_optimizer,
+        run_filename)
+    from contrad_tpu.utils import (
+        Logger, append_csv, has_checkpoint, restore_checkpoint, save_checkpoint)
+
+    cfg = load_config(default_config_files(P.config), P.override)
+    finalize_options(cfg)
+    opt = cfg.options
+
+    train_set, _, image_size = get_dataset(opt.dataset)
+
+    mesh = get_mesh()
+    n_dev = len(mesh.devices.ravel())
+    if opt.batch_size % n_dev:
+        raise ValueError(
+            f"global batch {opt.batch_size} must divide device count {n_dev}")
+
+    generator, discriminator = get_architecture(P.architecture, image_size)
+    g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
+                                 use_warmup=P.use_warmup)
+    d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,
+                                 use_warmup=P.use_warmup)
+
+    augment_fn = get_augment(P.aug, cfg.get("augment"))
+    trainer = GANTrainer(
+        generator, discriminator, mode=P.mode, augment_fn=augment_fn,
+        g_optimizer=g_optimizer, d_optimizer=d_optimizer,
+        loss_type=opt.loss, penalty=P.penalty, temp=P.temp, lbd_a=P.lbd_a,
+        lbd=opt.lbd, lbd2=opt.lbd2, n_critic=opt.n_critic, mesh=mesh)
+
+    rng = jax.random.PRNGKey(P.seed)
+    state = create_train_state(rng, generator, discriminator, image_size,
+                               g_optimizer, d_optimizer)
+
+    filename = run_filename(P.mode, P.penalty, P.aug, P.temp, P.lbd_a)
+    comment = f"_{P.comment}" if P.comment else ""
+    gin_stem = Path(P.config).stem
+    if P.resume:
+        logger = Logger(None, resume=P.resume, root=P.logdir_root)
+    else:
+        logger = Logger(f"{filename}{comment}",
+                        subdir=f"gan/{gin_stem}/{P.architecture}",
+                        root=P.logdir_root)
+        shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
+
+    if P.resume and has_checkpoint(P.resume):
+        state = restore_checkpoint(P.resume, state)
+        logger.log(f"Checkpoint loaded from '{P.resume}' (step {int(state.step)})")
+    if P.finetune and has_checkpoint(P.finetune):
+        # Load D (and G) then re-init the GAN head (reference train_gan.py:261-266,
+        # base.py:152-164 resets only discriminator.linear).
+        loaded = restore_checkpoint(P.finetune, state)
+        d_params = dict(loaded.d_params)
+        fresh = state.d_params
+        d_params["linear"] = fresh["linear"]
+        state = state.replace(d_params=type(state.d_params)(d_params),
+                              d_state=loaded.d_state)
+        logger.log(f"Checkpoint loaded for fine-tuning from '{P.finetune}'")
+
+    state = trainer.place_state(state)
+    starting_step = int(state.step) + 1
+
+    logger.log(f"# Params - G: {count_parameters(state.g_params)}, "
+               f"D: {count_parameters(state.d_params)}")
+    logger.log(str(opt.to_dict()))
+    logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
+
+    loader = BatchIterator(train_set, opt.batch_size * opt.n_critic, seed=P.seed,
+                           start_epoch=0)
+
+    # Evaluation helpers
+    eval_seed = int(np.random.randint(10000))
+    fixed_gen = FixedSampleGeneration(
+        generator, jax.random.PRNGKey(P.seed + 1), volatile=P.no_gif)
+    image_grid = ImageGrid(volatile=P.no_gif)
+    aug_preview = jax.jit(lambda r, x: augment_fn(r, x))
+
+    fid = None
+    if not P.no_fid:
+        try:
+            from contrad_tpu.evaluate.fid import FIDScore
+
+            fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg)
+        except Exception as e:  # missing inception weights / stats
+            logger.log(f"FID disabled: {e}")
+
+    sample_from_z = lambda z: trainer.sample_from_z(state, z)
+
+    logger.log_dirname(f"Steps {starting_step}")
+    t0 = time.time()
+    imgs_seen = 0
+    for step in range(starting_step, opt.max_steps + 1):
+        images, _ = next(loader)
+        batch = trainer.place_batch(images)
+        state, metrics = trainer.train_step(state, batch)
+        imgs_seen += opt.batch_size
+
+        if step % P.print_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            ips = imgs_seen / max(dt, 1e-9)
+            logger.log("[Steps %7d] [G %.3f] [D %.3f] [%.1f img/s]"
+                       % (step, m["G_loss"], m["D_loss"], ips))
+            for name, value in m.items():
+                logger.scalar_summary("gan/train/" + name, value, step)
+            t0 = time.time()
+            imgs_seen = 0
+
+        if step % P.evaluate_every == 0:
+            logger.log_dirname(f"Steps {step + 1}")
+            if fid is not None:
+                fid_avg = fid.update(step, lambda n, r: np.asarray(
+                    jax.device_get(trainer.sample_fn(state, n, False, False))))
+                fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
+                logger.scalar_summary("gan/test/fid", fid_avg, step)
+                logger.scalar_summary("gan/test/fid/best", fid.best, step)
+            if not P.no_gif:
+                fixed_gen.update(sample_from_z)
+                imageio.mimsave(
+                    os.path.join(logger.logdir, f"training_progress_{eval_seed}.gif"),
+                    fixed_gen.summary())
+                grid = image_grid.update(aug_preview(
+                    jax.random.PRNGKey(step), trainer.place_batch(
+                        images[: opt.batch_size].astype(np.float32) / 255.0)))
+                if grid is not None:
+                    imageio.imsave(
+                        os.path.join(logger.logdir, f"real_augment_{eval_seed}.jpg"),
+                        grid)
+            save_checkpoint(logger.logdir, state, "latest")
+            if fid is not None and fid.is_best:
+                save_checkpoint(logger.logdir, state, "best")
+            if step % P.save_every == 0:
+                save_checkpoint(logger.logdir, state, f"step_{step}")
+
+    logger.log("Training finished.")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
