@@ -1,0 +1,93 @@
+"""Data pipeline + config system tests."""
+
+import os
+
+import numpy as np
+import pytest
+
+from contrad_tpu.config import default_config_files, finalize_options, load_config
+from contrad_tpu.data import BatchIterator, get_dataset, get_dataset_ref
+from contrad_tpu.data.core import ArrayDataset
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_synthetic_dataset():
+    train, test, size = get_dataset("synthetic_16")
+    assert size == (16, 16, 3)
+    assert train.images.dtype == np.uint8
+    assert len(train) == 2048 and len(test) == 512
+    ref = get_dataset_ref("synthetic_16")
+    assert len(ref) == len(test)
+
+
+def test_batch_iterator_epoch_semantics():
+    ds = ArrayDataset(np.arange(40, dtype=np.uint8).reshape(10, 2, 2, 1),
+                      np.arange(10))
+    it = BatchIterator(ds, batch_size=4, seed=7)
+    seen = []
+    for _ in range(2):  # one epoch = 2 batches of 4 (2 dropped)
+        imgs, labels = next(it)
+        assert imgs.shape == (4, 2, 2, 1)
+        seen.extend(labels.tolist())
+    assert len(set(seen)) == 8, "no repeats within an epoch"
+
+    # determinism: same seed -> same order
+    it2 = BatchIterator(ds, batch_size=4, seed=7)
+    imgs2, labels2 = next(it2)
+    it3 = BatchIterator(ds, batch_size=4, seed=7)
+    imgs3, labels3 = next(it3)
+    np.testing.assert_array_equal(labels2, labels3)
+
+
+def test_batch_iterator_rejects_oversized_batch():
+    ds = ArrayDataset(np.zeros((4, 2, 2, 1), np.uint8))
+    with pytest.raises(ValueError):
+        BatchIterator(ds, batch_size=8)
+
+
+def test_unknown_dataset():
+    with pytest.raises(NotImplementedError):
+        get_dataset("imagenet")
+
+
+def test_config_layering_and_overrides():
+    files = default_config_files(
+        os.path.join(REPO, "configs/gan/cifar10/c10_b512.toml"), REPO)
+    cfg = load_config(files, ["options.lr=0.001", "options.n_critic=5"])
+    finalize_options(cfg)
+    assert cfg.options.batch_size == 512
+    assert cfg.options.lbd == 10.0  # from defaults/gan.toml
+    assert cfg.options.lr == 0.001  # override wins
+    assert cfg.options.n_critic == 5
+    assert cfg.options.lr_d == 0.001  # lr_d defaults to lr
+    assert cfg.augment.color_jitter.brightness == 0.4
+
+
+def test_config_experiment_overrides_defaults():
+    files = default_config_files(
+        os.path.join(REPO, "configs/gan/stylegan2/afhq_dog_style64.toml"), REPO)
+    cfg = load_config(files)
+    finalize_options(cfg)
+    assert cfg.augment.color_jitter.brightness == 0.8  # experiment overrides
+    assert cfg.augment.cutout.length == 255
+    assert cfg.options.fid_size == 50000
+    assert tuple(cfg.options.beta) == (0.0, 0.99)
+
+
+def test_config_requires_dataset_and_loss(tmp_path):
+    f = tmp_path / "bad.toml"
+    f.write_text("[options]\nbatch_size = 8\n")
+    cfg = load_config([f])
+    with pytest.raises(ValueError):
+        finalize_options(cfg)
+
+
+def test_all_experiment_configs_parse():
+    import glob
+
+    for path in glob.glob(os.path.join(REPO, "configs/gan/**/*.toml"),
+                          recursive=True):
+        cfg = load_config(default_config_files(path, REPO))
+        finalize_options(cfg)
+        assert cfg.options.batch_size > 0, path
