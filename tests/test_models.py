@@ -121,3 +121,20 @@ def test_registry_sndcgan():
 def test_registry_unknown():
     with pytest.raises(NotImplementedError):
         get_architecture("nope", (32, 32, 3))
+
+
+def test_snresnet18(rng):
+    from contrad_tpu.models.snresnet import DSnresnet18
+
+    d = DSnresnet18(mlp_linear=True, d_hidden=64)
+    x = jax.random.uniform(rng, (2, 32, 32, 3))
+    variables = d.init(rng, x, train=True)
+    (score, aux), _ = d.apply(variables, x, train=True, mutable=["spectral"])
+    assert score.shape == (2, 1)
+    assert aux["penultimate"].shape == (2, 512)
+    assert aux["projection"].shape == (2, 128)
+
+
+def test_registry_snresnet18():
+    g, d = get_architecture("snresnet18", (32, 32, 3))
+    assert d.d_hidden == 1024 and d.mlp_linear
