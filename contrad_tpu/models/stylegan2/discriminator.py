@@ -1,0 +1,177 @@
+"""StyleGAN2 discriminators (reference: ``models/gan/stylegan2/discriminator.py``).
+
+``DStylegan2`` is the registry-reachable ResidualDiscriminatorP: FromRGB ->
+residual downsample blocks (/sqrt(2)) -> minibatch-stddev -> 3x3 conv ->
+flatten 512*4*4 penultimate, wrapped with the multi-head protocol (no spectral
+norm anywhere — the reference applies SN only in the SNDCGAN/SNResNet family).
+Plain ``ResidualDiscriminator`` and ``SkipDiscriminator`` (reference
+``discriminator.py:79-188``, not registry-reachable) are provided for parity.
+
+Minibatch stddev note: the reference groups strided batch slices
+(``view(group, -1, ...)``, discriminator.py:22-33) which under SPMD would
+couple samples living on different devices. We group *contiguous* 4-sample
+blocks instead — identical statistics for a shuffled batch, and each group
+stays on one device, so the op stays collective-free.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contrad_tpu.models.base import Discriminator
+from contrad_tpu.models.stylegan2.generator import stylegan2_channels
+from contrad_tpu.models.stylegan2.layers import (
+    ConvLayer,
+    Downsample,
+    EqualDense,
+    FromRGB,
+)
+
+
+def minibatch_stddev(x: jax.Array, stddev_group: int = 4,
+                     stddev_feat: int = 1) -> jax.Array:
+    """Append a per-group feature-stddev channel (reference
+    discriminator.py:22-33), with contiguous grouping (see module docstring)."""
+    n, h, w, c = x.shape
+    group = min(n, stddev_group)
+    g = x.reshape(n // group, group, h, w, stddev_feat, c // stddev_feat)
+    std = jnp.sqrt(jnp.var(g, axis=1) + 1e-8)  # biased var over the group
+    std = jnp.mean(std, axis=(1, 2, 3, 4), keepdims=True)  # (n//group,1,1,1,1)
+    std = std[..., 0]  # (n//group, 1, 1, 1)
+    std = jnp.tile(std, (1, group, h, w)).reshape(n, h, w, 1)
+    return jnp.concatenate([x, std], axis=-1)
+
+
+class ResBlock(nn.Module):
+    """conv3x3 + blur-downsample conv3x3, 1x1 downsample skip, /sqrt(2)
+    (reference discriminator.py:60-76)."""
+
+    features: int
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x):
+        in_ch = x.shape[-1]
+        out = ConvLayer(in_ch, 3, activate=True, name="conv1")(x)
+        out = ConvLayer(self.features, 3, blur_kernel=self.blur_kernel,
+                        downsample=True, activate=True, name="conv2")(out)
+        skip = ConvLayer(self.features, 1, blur_kernel=self.blur_kernel,
+                         downsample=True, activate=False, name="skip")(x)
+        return (out + skip) / math.sqrt(2.0)
+
+
+class ResidualBackbone(nn.Module):
+    """FromRGB -> ResBlocks -> minibatch stddev -> 3x3 conv -> flatten.
+    The penultimate feature extractor of ResidualDiscriminatorP
+    (reference discriminator.py:191-235)."""
+
+    size: int
+    channel_multiplier: float = 2.0
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    small32: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        channels = stylegan2_channels(self.channel_multiplier, self.small32)
+        x = x * 2.0 - 1.0
+        x = FromRGB(channels[self.size], name="from_rgb")(x)
+        log_size = int(math.log2(self.size))
+        for i in range(log_size, 2, -1):
+            x = ResBlock(channels[2 ** (i - 1)], self.blur_kernel,
+                         name=f"block_{2**i}")(x)
+        x = minibatch_stddev(x)
+        x = ConvLayer(channels[4], 3, activate=True, name="last_conv")(x)
+        return x.reshape(x.shape[0], -1)
+
+
+def DStylegan2(
+    size: int,
+    channel_multiplier: float = 2.0,
+    blur_kernel: Sequence[int] = (1, 3, 3, 1),
+    small32: bool = False,
+    mlp_linear: bool = False,
+    d_hidden: int = 128,
+    n_classes: int = 1,
+) -> Discriminator:
+    channels = stylegan2_channels(channel_multiplier, small32)
+    return Discriminator(
+        backbone=ResidualBackbone(
+            size=size, channel_multiplier=channel_multiplier,
+            blur_kernel=tuple(blur_kernel), small32=small32),
+        d_penul=channels[4] * 4 * 4,
+        n_classes=n_classes,
+        d_hidden=d_hidden,
+        mlp_linear=mlp_linear,
+        use_sn=False,  # StyleGAN2 D has no spectral norm in the reference
+    )
+
+
+class ResidualDiscriminator(nn.Module):
+    """Plain (non-protocol) residual D with the EqualLinear head
+    (reference discriminator.py:79-128)."""
+
+    size: int
+    channel_multiplier: float = 2.0
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    small32: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        channels = stylegan2_channels(self.channel_multiplier, self.small32)
+        feats = ResidualBackbone(
+            self.size, self.channel_multiplier, tuple(self.blur_kernel),
+            self.small32, name="backbone")(x, train)
+        h = EqualDense(channels[4], activation=True, name="fc1")(feats)
+        return EqualDense(1, name="fc2")(h)
+
+
+class SkipBlock(nn.Module):
+    """FromRGB + conv pair + input downsample (reference discriminator.py:36-57)."""
+
+    in_features: int
+    features: int
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, features=None):
+        out = FromRGB(self.in_features, name="from_rgb")(x)
+        features = out if features is None else out + features
+        features = ConvLayer(self.in_features, 3, activate=True,
+                             name="conv1")(features)
+        features = ConvLayer(self.features, 3, blur_kernel=self.blur_kernel,
+                             downsample=True, activate=True, name="conv2")(features)
+        x = Downsample(self.blur_kernel, name="downsample")(x)
+        return x, features
+
+
+class SkipDiscriminator(nn.Module):
+    """Skip-connection D (reference discriminator.py:131-188)."""
+
+    size: int
+    channel_multiplier: float = 2.0
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    small32: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        channels = stylegan2_channels(self.channel_multiplier, self.small32)
+        x = x * 2.0 - 1.0
+        log_size = int(math.log2(self.size))
+        features = None
+        for i in range(log_size, 2, -1):
+            x, features = SkipBlock(
+                channels[2**i], channels[2 ** (i - 1)], self.blur_kernel,
+                name=f"block_{2**i}")(x, features)
+        out = FromRGB(channels[4], name="last_rgb")(x)
+        features = out + features
+        features = minibatch_stddev(features)
+        features = ConvLayer(channels[4], 3, activate=True,
+                             name="last_conv")(features)
+        features = features.reshape(features.shape[0], -1)
+        h = EqualDense(channels[4], activation=True, name="fc1")(features)
+        return EqualDense(1, name="fc2")(h)

@@ -1,0 +1,275 @@
+"""StyleGAN2 generator (reference: ``models/gan/stylegan2/generator.py``).
+
+TPU-native modulated convolution: the reference materializes a per-sample
+weight tensor (B, out, in, k, k) and runs a grouped conv with groups=B
+(``generator.py:56-82``) — a CUDA-friendly trick that would defeat the MXU.
+Because the conv is linear in both the input channels and the weight, the
+*exact same computation* factorizes as
+
+    y[b] = demod[b,:] * conv(x[b] * style[b,:], scale*W)
+
+i.e. modulate inputs -> ONE shared batched conv (dense MXU matmuls) ->
+demodulate outputs, with ``demod[b,o] = rsqrt(sum_hw(scale*W)^2[i,o] @
+style^2[b,i] + eps)`` computed by a single small matmul. Same math, no 5-D
+weights, no grouped conv.
+
+Per-layer noise injection and train-time style mixing draw from the linen
+'noise' RNG stream (pass ``rngs={'noise': key}`` to apply).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from contrad_tpu.models.stylegan2.layers import (
+    Blur,
+    EqualDense,
+    PixelNorm,
+)
+from contrad_tpu.ops.fused_act import FusedLeakyReLU
+from contrad_tpu.ops.upfirdn2d import blur2d, make_kernel, upsample2d
+
+
+def stylegan2_channels(channel_multiplier: float = 2.0, small32: bool = False):
+    """Resolution -> channel map (reference generator.py:161-179)."""
+    if small32:
+        return {4: 512, 8: 512, 16: 256, 32: 128}
+    return {
+        4: 512, 8: 512, 16: 512, 32: 512,
+        64: int(256 * channel_multiplier),
+        128: int(128 * channel_multiplier),
+        256: int(64 * channel_multiplier),
+        512: int(32 * channel_multiplier),
+        1024: int(16 * channel_multiplier),
+    }
+
+
+class ModulatedConv(nn.Module):
+    """Style-modulated, optionally demodulated conv (reference
+    generator.py:17-82), reformulated for the MXU (see module docstring)."""
+
+    features: int
+    kernel_size: int
+    demodulate: bool = True
+    upsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    eps: float = 1e-8
+
+    @nn.compact
+    def __call__(self, x, style):
+        k = self.kernel_size
+        in_ch = x.shape[-1]
+        weight = self.param("weight", nn.initializers.normal(stddev=1.0),
+                            (k, k, in_ch, self.features))
+        scale = 1.0 / math.sqrt(in_ch * k * k)
+        w = weight * scale
+
+        s = EqualDense(in_ch, bias_init=1.0, name="modulation")(style)  # (N, in)
+        xm = x * s[:, None, None, :]
+
+        if self.demodulate:
+            w_sq = jnp.sum(w**2, axis=(0, 1))  # (in, out)
+            demod = jax.lax.rsqrt(jnp.matmul(s**2, w_sq) + self.eps)  # (N, out)
+
+        if self.upsample:
+            y = jax.lax.conv_transpose(
+                xm, w, strides=(2, 2), padding="VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.demodulate:
+                y = y * demod[:, None, None, :]
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            pad = ((p + 1) // 2 + factor - 1, p // 2 + 1)
+            y = blur2d(y, make_kernel(self.blur_kernel) * factor**2, pad)
+        else:
+            y = jax.lax.conv_general_dilated(
+                xm, w, (1, 1),
+                padding=((k // 2, k // 2), (k // 2, k // 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.demodulate:
+                y = y * demod[:, None, None, :]
+        return y
+
+
+class NoiseInjection(nn.Module):
+    """x + weight * N(0,1) per-pixel noise (reference generator.py:85-94)."""
+
+    @nn.compact
+    def __call__(self, x, noise=None):
+        weight = self.param("weight", nn.initializers.zeros, ())
+        if noise is None:
+            n, h, w, _ = x.shape
+            noise = jax.random.normal(self.make_rng("noise"), (n, h, w, 1),
+                                      dtype=x.dtype)
+        return x + weight * noise
+
+
+class ConstantInput(nn.Module):
+    """Learned 4x4 constant (reference generator.py:97-105)."""
+
+    channels: int
+    size: int = 4
+
+    @nn.compact
+    def __call__(self, batch: int):
+        const = self.param("const", nn.initializers.normal(stddev=1.0),
+                           (1, self.size, self.size, self.channels))
+        return jnp.tile(const, (batch, 1, 1, 1))
+
+
+class StyleLayer(nn.Module):
+    """ModulatedConv -> noise -> fused leaky-relu (reference generator.py:108-124)."""
+
+    features: int
+    kernel_size: int = 3
+    upsample: bool = False
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    demodulate: bool = True
+
+    @nn.compact
+    def __call__(self, x, style, noise=None):
+        x = ModulatedConv(self.features, self.kernel_size,
+                          demodulate=self.demodulate, upsample=self.upsample,
+                          blur_kernel=self.blur_kernel, name="conv")(x, style)
+        x = NoiseInjection(name="noise")(x, noise)
+        return FusedLeakyReLU(self.features, name="activate")(x)
+
+
+class ToRGB(nn.Module):
+    """1x1 modulated (non-demodulated) conv to RGB + skip upsample
+    (reference generator.py:127-146)."""
+
+    upsample: bool = True
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+
+    @nn.compact
+    def __call__(self, x, style, skip=None):
+        out = ModulatedConv(3, 1, demodulate=False, name="conv")(x, style)
+        bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
+        out = out + bias
+        if skip is not None:
+            skip = upsample2d(skip, make_kernel(self.blur_kernel))
+            out = out + skip
+        return out
+
+
+class GStylegan2(nn.Module):
+    """Style MLP + progressive synthesis with skip ToRGB chain
+    (reference generator.py:149-290). Output in [0,1], clamped in eval."""
+
+    size: int
+    style_dim: int = 512
+    n_mlp: int = 8
+    channel_multiplier: float = 2.0
+    blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    lr_mlp: float = 0.01
+    small32: bool = False
+
+    @property
+    def log_size(self) -> int:
+        return int(math.log2(self.size))
+
+    @property
+    def n_latent(self) -> int:
+        return self.log_size * 2 - 2
+
+    @property
+    def num_layers(self) -> int:
+        return (self.log_size - 2) * 2 + 1
+
+    def setup(self):
+        channels = stylegan2_channels(self.channel_multiplier, self.small32)
+        self.channels = channels
+
+        self.style = [PixelNorm(name="pixel_norm")] + [
+            EqualDense(self.style_dim, lr_mul=self.lr_mlp, activation=True,
+                       name=f"style_{i}")
+            for i in range(self.n_mlp)
+        ]
+
+        self.input = ConstantInput(channels[4])
+        self.conv1 = StyleLayer(channels[4], 3, blur_kernel=self.blur_kernel)
+        self.to_rgb1 = ToRGB(upsample=False)
+
+        layers = []
+        to_rgbs = []
+        in_ch = channels[4]
+        for i in range(3, self.log_size + 1):
+            out_ch = channels[2**i]
+            layers.append(StyleLayer(out_ch, 3, upsample=True,
+                                     blur_kernel=self.blur_kernel))
+            layers.append(StyleLayer(out_ch, 3, blur_kernel=self.blur_kernel))
+            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel))
+            in_ch = out_ch
+        self.layers = layers
+        self.to_rgbs = to_rgbs
+
+    # ------------------------------------------------------------- helpers
+
+    def style_forward(self, z):
+        """z -> w (the style MLP; reference get_latent, generator.py:236)."""
+        x = z
+        for layer in self.style:
+            x = layer(x)
+        return x
+
+    def mean_latent(self, rng, n_latent: int):
+        z = jax.random.normal(rng, (n_latent, self.style_dim))
+        return jnp.mean(self.style_forward(z), axis=0, keepdims=True)
+
+    def sample_latent(self, rng, n: int):
+        return jax.random.normal(rng, (n, self.style_dim))
+
+    # ------------------------------------------------------------- forward
+
+    def __call__(self, z, train: bool = True, style_mix: float = 0.9,
+                 input_is_latent: bool = False, noise: Optional[Any] = None,
+                 return_latents: bool = False):
+        latent = z if input_is_latent else self.style_forward(z)
+
+        if noise is None:
+            noise = [None] * self.num_layers
+
+        if latent.ndim < 3:
+            latents = jnp.repeat(latent[:, None, :], self.n_latent, axis=1)
+        else:
+            latents = latent
+
+        if train and style_mix > 0:
+            # Per-sample style mixing (reference generator.py:252-266): with
+            # prob style_mix pick a crossover layer; layers >= crossover use a
+            # second style.
+            n = latents.shape[0]
+            r_mix, r_layer, r_z = jax.random.split(self.make_rng("noise"), 3)
+            latent_mix = self.style_forward(
+                jax.random.normal(r_z, (n, self.style_dim)))[:, None, :]
+            nomix = jax.random.uniform(r_mix, (n,)) >= style_mix
+            mix_layer = jax.random.randint(r_layer, (n,), 0, self.n_latent)
+            mix_layer = jnp.where(nomix, self.n_latent, mix_layer)
+            layer_idx = jnp.arange(self.n_latent)[None, :]
+            mask = (layer_idx < mix_layer[:, None]).astype(latents.dtype)[..., None]
+            latents = latents * mask + latent_mix * (1.0 - mask)
+
+        out = self.input(latents.shape[0])
+        out = self.conv1(out, latents[:, 0], noise=noise[0])
+        skip = self.to_rgb1(out, latents[:, 1])
+
+        idx = 1
+        for i, to_rgb in enumerate(self.to_rgbs):
+            out = self.layers[2 * i](out, latents[:, idx], noise=noise[1 + 2 * i])
+            out = self.layers[2 * i + 1](out, latents[:, idx + 1],
+                                         noise=noise[2 + 2 * i])
+            skip = to_rgb(out, latents[:, idx + 2], skip)
+            idx += 2
+
+        image = 0.5 * skip + 0.5
+        if not train:
+            image = jnp.clip(image, 0.0, 1.0)
+        if return_latents:
+            return image, latents
+        return image

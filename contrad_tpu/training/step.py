@@ -1,17 +1,22 @@
-"""The jitted SPMD GAN train step.
+"""The jitted SPMD GAN train steps.
 
-Reference hot loop (``train_gan.py:124-227``): per step, n_critic D updates
-(each with a fresh real batch and fresh fakes) followed by one G update on
-fresh fakes against the just-updated D. Here the whole step — latent sampling,
-G forward, on-device augmentation, D forward, both losses (including the
-cross-replica contrastive negatives), both Adam updates, spectral-norm power
-iterations and BN stat updates — is ONE compiled XLA program over the device
-mesh. The n_critic inner loop is a ``lax.scan``.
+Reference hot loops:
+  * ``train_gan.py:124-227`` — per step, n_critic D updates (fresh real batch
+    + fresh fakes each) then one G update on fresh fakes vs the updated D.
+  * ``train_stylegan2.py:147-279`` — EMA accumulate, then G update FIRST, then
+    a D update REUSING the G-phase fakes, lazy R1 every d_reg_every steps on
+    augmented reals, then n_critic-1 extra D updates.
 
-What the reference does between devices (NCCL all-reduce in backward, GatherLayer
-all-gathers, SyncBN, per-step barriers) is all implicit: the step is written on
-global arrays; XLA partitions it over the 'data' mesh axis and inserts ICI
-collectives.
+Here each full step — latent sampling, G forward, on-device augmentation,
+D forward, losses (with cross-replica contrastive negatives), Adam updates,
+spectral-norm power iterations, BN stats, EMA — is ONE compiled XLA program
+over the device mesh. The reference's NCCL all-reduce/all-gather/SyncBN/
+barriers are implicit: the step is written on global arrays and XLA partitions
+it over the 'data' mesh axis, inserting ICI collectives.
+
+Lazy R1 is handled with two compiled step variants (with/without the
+grad-of-grad) selected host-side by step index — cheaper than carrying a
+lax.cond with a double-backward in the common path.
 """
 
 from __future__ import annotations
@@ -32,7 +37,7 @@ def make_d_apply(discriminator) -> Callable:
     """Functional apply for the discriminator, returning ((d, aux), new_state).
 
     ``update_state=False`` runs in train mode without persisting mutable
-    collections (used by penalty-internal D calls)."""
+    collections (used by penalty/R1-internal D calls)."""
 
     def d_apply(params, state, x, y=None, train=True, sg_linear=False,
                 finetuning=False, update_state=True):
@@ -51,13 +56,20 @@ def make_d_apply(discriminator) -> Callable:
 
 
 def make_g_apply(generator) -> Callable:
-    def g_apply(params, state, z, train=True, update_state=True):
+    """Functional apply for the generator. ``rng`` feeds the linen 'noise'
+    stream (StyleGAN2 noise injection + style mixing); extra kwargs pass
+    through (style_mix, ...)."""
+
+    def g_apply(params, state, z, train=True, update_state=True, rng=None,
+                **kwargs):
         variables = {"params": params, **state}
+        rngs = {"noise": rng} if rng is not None else None
         if train and update_state and state:
             out, mutated = generator.apply(
-                variables, z, train=train, mutable=list(state.keys()))
+                variables, z, train=train, rngs=rngs,
+                mutable=list(state.keys()), **kwargs)
             return out, mutated
-        out = generator.apply(variables, z, train=train)
+        out = generator.apply(variables, z, train=train, rngs=rngs, **kwargs)
         return out, state
 
     return g_apply
@@ -72,7 +84,8 @@ def _to_float(images: jax.Array) -> jax.Array:
 
 
 class GANTrainer:
-    """Builds and owns the jitted train/eval steps for one run."""
+    """Builds and owns the jitted train/eval steps (train_gan.py semantics:
+    D-then-G, fresh fakes for each phase, no EMA by default)."""
 
     def __init__(
         self,
@@ -91,6 +104,7 @@ class GANTrainer:
         n_critic: int = 1,
         ema: bool = False,
         mesh=None,
+        g_kwargs: Optional[dict] = None,
     ):
         self.generator = generator
         self.discriminator = discriminator
@@ -99,6 +113,7 @@ class GANTrainer:
         self.n_critic = n_critic
         self.ema = ema
         self.mesh = mesh if mesh is not None else get_mesh()
+        self.g_kwargs = g_kwargs or {}  # e.g. {'style_mix': 0.9} for StyleGAN2
 
         self.g_apply = make_g_apply(generator)
         self.d_apply = make_d_apply(discriminator)
@@ -116,16 +131,12 @@ class GANTrainer:
         self.step_fn = jax.jit(self._step, donate_argnums=(0,))
         self.sample_fn = jax.jit(self._sample, static_argnums=(1, 2, 3))
 
-    # ------------------------------------------------------------- train
+    # ------------------------------------------------------------- phases
 
-    def _d_substep(self, g_params, carry, images):
-        d_params, d_state, d_opt_state, g_state, rng = carry
-        rng, z_rng, loss_rng = jax.random.split(rng, 3)
-        n = images.shape[0]
-
-        z = self.generator.sample_latent(z_rng, n)
-        gen_images, g_state = self.g_apply(g_params, g_state, z, train=True)
-        gen_images = jax.lax.stop_gradient(gen_images)
+    def _d_update(self, d_params, d_state, d_opt_state, images, gen_images,
+                  loss_rng):
+        """One D gradient step on (images, gen_images); returns new D triple +
+        metrics."""
 
         def d_loss_fn(p):
             return self.loss_D(self.ctx, p, d_state, images, gen_images, loss_rng)
@@ -134,7 +145,40 @@ class GANTrainer:
             d_loss_fn, has_aux=True)(d_params)
         updates, d_opt_state = self.d_tx.update(grads, d_opt_state, d_params)
         d_params = optax.apply_updates(d_params, updates)
+        return d_params, d_state, d_opt_state, metrics
+
+    def _d_substep(self, g_params, carry, images):
+        d_params, d_state, d_opt_state, g_state, rng = carry
+        rng, z_rng, noise_rng, loss_rng = jax.random.split(rng, 4)
+        n = images.shape[0]
+
+        z = self.generator.sample_latent(z_rng, n)
+        gen_images, g_state = self.g_apply(g_params, g_state, z, train=True,
+                                           rng=noise_rng, **self.g_kwargs)
+        gen_images = jax.lax.stop_gradient(gen_images)
+
+        d_params, d_state, d_opt_state, metrics = self._d_update(
+            d_params, d_state, d_opt_state, images, gen_images, loss_rng)
         return (d_params, d_state, d_opt_state, g_state, rng), metrics
+
+    def _g_update(self, g_params, g_state, g_opt_state, d_params, d_state,
+                  z, noise_rng, g_loss_rng):
+        """One G gradient step; returns new G triple, advanced D state, loss."""
+
+        def g_loss_fn(p):
+            gen_images, new_g_state = self.g_apply(p, g_state, z, train=True,
+                                                   rng=noise_rng, **self.g_kwargs)
+            g_loss, new_d_state = self.loss_G(
+                self.ctx, d_params, d_state, gen_images, g_loss_rng)
+            return g_loss, (new_g_state, new_d_state, gen_images)
+
+        (g_loss, (g_state, d_state, gen_images)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True)(g_params)
+        g_updates, g_opt_state = self.g_tx.update(g_grads, g_opt_state, g_params)
+        g_params = optax.apply_updates(g_params, g_updates)
+        return g_params, g_state, g_opt_state, d_state, g_loss, gen_images
+
+    # ------------------------------------------------------------- train
 
     def _step(self, state: GANTrainState, images: jax.Array, ema_decay=0.0):
         """images: (n_critic * B, H, W, C), uint8 or float in [0,1]."""
@@ -150,20 +194,11 @@ class GANTrainer:
         # Reference logs the last critic iteration's losses (train_gan.py:184-190).
         metrics = jax.tree.map(lambda m: m[-1], metrics_seq)
 
-        rng, z_rng, g_loss_rng, next_rng = jax.random.split(rng, 4)
+        rng, z_rng, noise_rng, g_loss_rng, next_rng = jax.random.split(rng, 5)
         z = self.generator.sample_latent(z_rng, nb)
-
-        def g_loss_fn(g_params):
-            gen_images, new_g_state = self.g_apply(g_params, g_state, z, train=True)
-            g_loss, new_d_state = self.loss_G(
-                self.ctx, d_params, d_state, gen_images, g_loss_rng)
-            return g_loss, (new_g_state, new_d_state)
-
-        (g_loss, (g_state, d_state)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True)(state.g_params)
-        g_updates, g_opt_state = self.g_tx.update(
-            g_grads, state.g_opt_state, state.g_params)
-        g_params = optax.apply_updates(state.g_params, g_updates)
+        g_params, g_state, g_opt_state, d_state, g_loss, _ = self._g_update(
+            state.g_params, g_state, state.g_opt_state, d_params, d_state,
+            z, noise_rng, g_loss_rng)
         metrics["G_loss"] = g_loss
 
         if self.ema and state.g_ema_params is not None:
@@ -191,16 +226,20 @@ class GANTrainer:
     def _sample(self, state: GANTrainState, n: int, use_ema: bool = False,
                 train: bool = False):
         rng = jax.random.fold_in(state.rng, 7)
-        z = self.generator.sample_latent(rng, n)
+        z_rng, noise_rng = jax.random.split(rng)
+        z = self.generator.sample_latent(z_rng, n)
         params = state.g_ema_params if use_ema else state.g_params
         g_state = state.g_ema_state if use_ema else state.g_state
-        out, _ = self.g_apply(params, g_state, z, train=train, update_state=False)
+        out, _ = self.g_apply(params, g_state, z, train=train,
+                              update_state=False, rng=noise_rng)
         return out
 
     def sample_from_z(self, state: GANTrainState, z, use_ema: bool = False):
         params = state.g_ema_params if use_ema else state.g_params
         g_state = state.g_ema_state if use_ema else state.g_state
-        out, _ = self.g_apply(params, g_state, z, train=False, update_state=False)
+        rng = jax.random.fold_in(state.rng, 11)
+        out, _ = self.g_apply(params, g_state, z, train=False,
+                              update_state=False, rng=rng)
         return out
 
     # ------------------------------------------------------------- placement
@@ -211,3 +250,102 @@ class GANTrainer:
 
     def place_batch(self, images):
         return jax.device_put(images, batch_sharding(self.mesh))
+
+
+class StyleGAN2Trainer(GANTrainer):
+    """train_stylegan2.py semantics: EMA accumulate first (pre-update params),
+    G update BEFORE D, D reuses the G-phase fakes, lazy R1 on augmented reals
+    every d_reg_every steps with (0.5*lbd_r1)*r1*d_reg_every scaling
+    (reference train_stylegan2.py:163-229), style mixing in G forwards."""
+
+    def __init__(self, *args, lbd_r1: float = 10.0, d_reg_every: int = 16,
+                 style_mix: float = 0.9, **kwargs):
+        kwargs.setdefault("ema", True)
+        kwargs.setdefault("g_kwargs", {"style_mix": style_mix})
+        super().__init__(*args, **kwargs)
+        self.lbd_r1 = lbd_r1
+        self.d_reg_every = d_reg_every
+        # two compiled variants: with/without the R1 grad-of-grad
+        self.step_fn = jax.jit(self._sg2_step, donate_argnums=(0,),
+                               static_argnums=(3,))
+
+    def _r1(self, d_params, d_state, images, rng):
+        """R1 on augmented, detached reals (reference train_stylegan2.py:106-113):
+        E[sum of squared grads of D(x) w.r.t. x]."""
+        x = jax.lax.stop_gradient(self.ctx.augment_fn(rng, images))
+
+        def d_sum(xx):
+            (d, _), _ = self.d_apply(d_params, d_state, xx, train=True,
+                                     update_state=False)
+            return jnp.sum(d)
+
+        grads = jax.grad(d_sum)(x)
+        n = x.shape[0]
+        return jnp.mean(jnp.sum(grads.reshape(n, -1) ** 2, axis=1))
+
+    def _sg2_step(self, state: GANTrainState, images: jax.Array,
+                  ema_decay, do_r1: bool):
+        images = _to_float(images)
+        nb = images.shape[0] // self.n_critic
+        images = images.reshape((self.n_critic, nb) + images.shape[1:])
+
+        # 1. EMA with pre-update params (reference :174-176).
+        if state.g_ema_params is not None:
+            g_ema_params = ema_update(state.g_ema_params, state.g_params, ema_decay)
+            g_ema_state = jax.tree.map(lambda x: x, state.g_state)
+        else:
+            g_ema_params, g_ema_state = state.g_ema_params, state.g_ema_state
+
+        rng = state.rng
+        rng, z_rng, noise_rng, g_loss_rng = jax.random.split(rng, 4)
+
+        # 2. G phase first (reference :184-194); keep its fakes.
+        z = self.generator.sample_latent(z_rng, nb)
+        (g_params, g_state, g_opt_state, d_state, g_loss, gen_images
+         ) = self._g_update(
+            state.g_params, state.g_state, state.g_opt_state,
+            state.d_params, state.d_state, z, noise_rng, g_loss_rng)
+
+        # 3. D phase on the same (pre-G-update) fakes (reference :196-216).
+        rng, d_loss_rng, r1_rng = jax.random.split(rng, 3)
+        d_params, d_state, d_opt_state = state.d_params, d_state, state.d_opt_state
+        gen_images = jax.lax.stop_gradient(gen_images)
+
+        def d_loss_fn(p):
+            total, (metrics, new_d_state) = self.loss_D(
+                self.ctx, p, d_state, images[0], gen_images, d_loss_rng)
+            if do_r1 and self.lbd_r1 > 0:
+                r1 = self._r1(p, d_state, images[0], r1_rng)
+                total = total + (0.5 * self.lbd_r1) * r1 * self.d_reg_every
+                metrics = dict(metrics, D_r1=r1)
+            else:
+                metrics = dict(metrics, D_r1=jnp.zeros(()))
+            return total, (metrics, new_d_state)
+
+        (_, (metrics, d_state)), grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True)(d_params)
+        updates, d_opt_state = self.d_tx.update(grads, d_opt_state, d_params)
+        d_params = optax.apply_updates(d_params, updates)
+
+        # 4. Extra critic steps with fresh batches/fakes (reference :218-229).
+        if self.n_critic > 1:
+            carry = (d_params, d_state, d_opt_state, g_state, rng)
+            d_substep = functools.partial(self._d_substep, g_params)
+            (d_params, d_state, d_opt_state, g_state, rng), _ = jax.lax.scan(
+                d_substep, carry, images[1:])
+
+        metrics["G_loss"] = g_loss
+        rng, next_rng = jax.random.split(rng)
+        new_state = state.replace(
+            step=state.step + 1,
+            rng=next_rng,
+            g_params=g_params, g_state=g_state,
+            d_params=d_params, d_state=d_state,
+            g_opt_state=g_opt_state, d_opt_state=d_opt_state,
+            g_ema_params=g_ema_params, g_ema_state=g_ema_state,
+        )
+        return new_state, metrics
+
+    def train_step(self, state: GANTrainState, images, ema_decay: float = 0.0,
+                   do_r1: bool = False):
+        return self.step_fn(state, images, ema_decay, bool(do_r1))
