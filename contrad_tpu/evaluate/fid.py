@@ -1,0 +1,163 @@
+"""FID: Frechet Inception Distance (reference: ``third_party/fid/fid_score.py``,
+``evaluate/gan.py:85-159``).
+
+Structure kept from the reference protocol:
+  * per-dataset reference stats precomputed once and cached to
+    ``third_party/fid/<dataset>_stats.npz`` (``evaluate/gan.py:93-103``);
+  * each update generates ``size`` samples in batches, embeds them with
+    InceptionV3 pool3 (2048-d), and averages ``n_avg`` FID trials
+    (``fid_score.py:115-158``, ``evaluate/gan.py:105-123``);
+  * stable sqrtm with eps jitter on the covariance product
+    (``fid_score.py:58-112``).
+
+TPU design: the embedder is a jitted flax InceptionV3 forward (bilinear resize
+to 299 + [-1,1] rescale fused in); only the 2048-d features come back to the
+host, and the O(d^3) sqrtm runs in scipy (eval path, off the step). The
+embedding function is injectable so tests (and weightless environments) can
+use a cheap deterministic embedder.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Optional
+
+import numpy as np
+from scipy import linalg
+
+from contrad_tpu.utils.logger import append_csv
+
+# Sampler: (n, rng_seed) -> float images (n, H, W, C) in [0, 1]
+SamplerFn = Callable[[int, int], np.ndarray]
+# Embedder: uint8/float images (n, H, W, C) -> features (n, d)
+EmbedFn = Callable[[np.ndarray], np.ndarray]
+
+STATS_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "third_party", "fid")
+
+
+def calculate_frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6):
+    """|mu1-mu2|^2 + tr(S1 + S2 - 2 sqrt(S1 S2)) with the standard numerical
+    guards (reference fid_score.py:58-112)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    assert mu1.shape == mu2.shape and sigma1.shape == sigma2.shape
+
+    diff = mu1 - mu2
+    covmean = linalg.sqrtm(sigma1.dot(sigma2))
+    if isinstance(covmean, tuple):  # older scipy returned (sqrtm, errest)
+        covmean = covmean[0]
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):
+            raise ValueError(
+                f"sqrtm has large imaginary component: "
+                f"{np.max(np.abs(covmean.imag))}")
+        covmean = covmean.real
+
+    return (diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+            - 2.0 * np.trace(covmean))
+
+
+def compute_stats(features: np.ndarray):
+    mu = np.mean(features, axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, sigma
+
+
+def compute_stats_from_sampler(sampler: SamplerFn, embed_fn: EmbedFn,
+                               size: int, batch_size: int = 50, seed: int = 0):
+    """Reference compute_stats_from_G (fid_score.py:115-158): sample in
+    batches of 50 and embed."""
+    feats = []
+    remaining, i = size, 0
+    while remaining > 0:
+        n = min(batch_size, remaining)
+        images = sampler(n, seed * 100003 + i)
+        feats.append(np.asarray(embed_fn(images)))
+        remaining -= n
+        i += 1
+    return compute_stats(np.concatenate(feats, axis=0)[:size])
+
+
+def compute_stats_from_images(images: np.ndarray, embed_fn: EmbedFn,
+                              batch_size: int = 50):
+    feats = []
+    for i in range(0, len(images), batch_size):
+        feats.append(np.asarray(embed_fn(images[i : i + batch_size])))
+    return compute_stats(np.concatenate(feats, axis=0))
+
+
+def stats_path(dataset: str, stats_dir: Optional[str] = None) -> str:
+    return os.path.join(stats_dir or STATS_DIR, f"{dataset}_stats.npz")
+
+
+def precompute_stats(dataset: str, embed_fn: EmbedFn,
+                     stats_dir: Optional[str] = None,
+                     batch_size: int = 50) -> str:
+    """Compute + cache the FID reference stats for a dataset's reference split
+    (reference fid_score.py:207-217; split choice from datasets.py:129-164)."""
+    from contrad_tpu.data import get_dataset_ref
+
+    path = stats_path(dataset, stats_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    ref = get_dataset_ref(dataset)
+    mu, sigma = compute_stats_from_images(ref.images, embed_fn, batch_size)
+    np.savez(path, mu=mu, sigma=sigma)
+    return path
+
+
+def fid_score(sampler: SamplerFn, embed_fn: EmbedFn, ref_mu, ref_sigma,
+              size: int, batch_size: int = 50, seed: int = 0) -> float:
+    mu, sigma = compute_stats_from_sampler(sampler, embed_fn, size,
+                                           batch_size, seed)
+    return float(calculate_frechet_distance(mu, sigma, ref_mu, ref_sigma))
+
+
+class FIDScore:
+    """In-training FID tracker (reference evaluate/gan.py:85-159): lazily
+    precomputes reference stats, averages n_avg trials per update, tracks the
+    best score, dumps a CSV with per-trial columns."""
+
+    def __init__(self, dataset: str, size: int = 10000, n_avg: int = 3,
+                 embed_fn: Optional[EmbedFn] = None,
+                 stats_dir: Optional[str] = None, batch_size: int = 50):
+        if embed_fn is None:
+            from contrad_tpu.evaluate.inception import get_inception_embed_fn
+
+            embed_fn = get_inception_embed_fn()
+        self.dataset = dataset
+        self.size = size
+        self.n_avg = n_avg
+        self.embed_fn = embed_fn
+        self.batch_size = batch_size
+
+        path = stats_path(dataset, stats_dir)
+        if not os.path.exists(path):
+            path = precompute_stats(dataset, embed_fn, stats_dir, batch_size)
+        stats = np.load(path)
+        self.ref_mu, self.ref_sigma = stats["mu"], stats["sigma"]
+
+        self.history: list = []  # rows: [step, trial_0..trial_{n-1}, mean]
+        self.best = float("inf")
+        self.is_best = False
+
+    def update(self, step: int, sampler: SamplerFn) -> float:
+        scores = [
+            fid_score(sampler, self.embed_fn, self.ref_mu, self.ref_sigma,
+                      self.size, self.batch_size, seed=trial)
+            for trial in range(self.n_avg)
+        ]
+        avg = float(np.mean(scores))
+        self.history.append([step] + [float(s) for s in scores] + [avg])
+        self.is_best = avg < self.best
+        if self.is_best:
+            self.best = avg
+        return avg
+
+    def save(self, path: str):
+        header = (["step"] + [f"fid_{i}" for i in range(self.n_avg)] + ["mean"])
+        if self.history:
+            append_csv(path, header, self.history[-1])

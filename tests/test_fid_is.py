@@ -1,0 +1,224 @@
+"""FID / IS math tests: analytic Gaussian golden values, tracker behavior,
+inception architecture shapes + checkpoint conversion (weightless: random
+tensors shaped like the torch checkpoint)."""
+
+import numpy as np
+import pytest
+
+from contrad_tpu.evaluate.fid import (
+    FIDScore,
+    calculate_frechet_distance,
+    compute_stats,
+    compute_stats_from_sampler,
+    fid_score,
+)
+from contrad_tpu.evaluate.inception_score import (
+    inception_score,
+    inception_score_from_probs,
+)
+
+
+def test_frechet_identical_is_zero(np_rng):
+    feats = np_rng.normal(size=(500, 16)).astype(np.float64)
+    mu, sigma = compute_stats(feats)
+    assert abs(calculate_frechet_distance(mu, sigma, mu, sigma)) < 1e-6
+
+
+def test_frechet_analytic_diagonal():
+    """For diagonal Gaussians: FID = |m1-m2|^2 + sum(s1 + s2 - 2 sqrt(s1 s2))."""
+    d = 4
+    mu1 = np.zeros(d)
+    mu2 = np.full(d, 2.0)
+    s1 = np.diag([1.0, 2.0, 3.0, 4.0])
+    s2 = np.diag([2.0, 2.0, 1.0, 0.5])
+    want = (np.sum((mu1 - mu2) ** 2)
+            + np.sum(np.diag(s1) + np.diag(s2)
+                     - 2 * np.sqrt(np.diag(s1) * np.diag(s2))))
+    got = calculate_frechet_distance(mu1, s1, mu2, s2)
+    np.testing.assert_allclose(got, want, rtol=1e-8)
+
+
+def test_frechet_mean_shift_only():
+    d = 8
+    sigma = np.eye(d)
+    got = calculate_frechet_distance(np.zeros(d), sigma, np.ones(d), sigma)
+    np.testing.assert_allclose(got, d * 1.0, rtol=1e-8)
+
+
+def _mean_embed(images):
+    """Cheap deterministic embedder: channel/spatial moments."""
+    x = np.asarray(images, dtype=np.float64)
+    if x.dtype == np.uint8:
+        x = x / 255.0
+    feats = np.stack([
+        x.mean(axis=(1, 2, 3)),
+        x.std(axis=(1, 2, 3)),
+        x[..., 0].mean(axis=(1, 2)),
+        x[..., -1].mean(axis=(1, 2)),
+    ], axis=1)
+    return feats
+
+
+def test_fid_score_discriminates(np_rng):
+    """FID(sampler~ref) << FID(shifted sampler)."""
+    ref_images = np_rng.uniform(size=(512, 8, 8, 3)).astype(np.float32)
+    ref_mu, ref_sigma = compute_stats(_mean_embed(ref_images))
+
+    def good_sampler(n, seed):
+        r = np.random.default_rng(seed)
+        return r.uniform(size=(n, 8, 8, 3)).astype(np.float32)
+
+    def bad_sampler(n, seed):
+        r = np.random.default_rng(seed)
+        return (r.uniform(size=(n, 8, 8, 3)) * 0.3).astype(np.float32)
+
+    good = fid_score(good_sampler, _mean_embed, ref_mu, ref_sigma, size=256)
+    bad = fid_score(bad_sampler, _mean_embed, ref_mu, ref_sigma, size=256)
+    assert good < bad / 10
+
+
+def test_fid_tracker_best_and_csv(tmp_path, np_rng):
+    tracker = FIDScore("synthetic_8", size=64, n_avg=2, embed_fn=_mean_embed,
+                       stats_dir=str(tmp_path), batch_size=32)
+    assert (tmp_path / "synthetic_8_stats.npz").exists()
+
+    def sampler_for(scale):
+        def sampler(n, seed):
+            r = np.random.default_rng(seed)
+            return (r.uniform(size=(n, 8, 8, 3)) * scale).astype(np.float32)
+        return sampler
+
+    s1 = tracker.update(0, sampler_for(0.2))
+    assert tracker.is_best and tracker.best == s1
+    s2 = tracker.update(1, sampler_for(1.0))  # closer to uniform reference
+    assert s2 < s1 and tracker.best == s2
+    csv_path = tmp_path / "fid.csv"
+    tracker.save(str(csv_path))
+    content = csv_path.read_text().splitlines()
+    assert content[0].startswith("step,fid_0,fid_1,mean")
+    assert len(content) == 2
+
+
+def test_stats_from_sampler_batching(np_rng):
+    calls = []
+
+    def sampler(n, seed):
+        calls.append(n)
+        r = np.random.default_rng(seed)
+        return r.uniform(size=(n, 4, 4, 3)).astype(np.float32)
+
+    mu, sigma = compute_stats_from_sampler(sampler, _mean_embed, size=120,
+                                           batch_size=50)
+    assert calls == [50, 50, 20]
+    assert mu.shape == (4,) and sigma.shape == (4, 4)
+
+
+# ------------------------------------------------------------ inception score
+
+def test_is_uniform_probs_is_one():
+    probs = np.full((100, 10), 0.1)
+    mean, std = inception_score_from_probs(probs, splits=5)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-6)
+
+
+def test_is_confident_diverse_is_high():
+    # each sample confidently predicts one of 10 classes, uniformly spread
+    probs = np.eye(10)[np.arange(1000) % 10] * 0.999 + 0.0001
+    probs /= probs.sum(1, keepdims=True)
+    mean, _ = inception_score_from_probs(probs, splits=10)
+    assert mean > 8.0
+
+
+def test_is_collapsed_is_low():
+    probs = np.zeros((200, 10))
+    probs[:, 3] = 1.0  # all samples one class
+    mean, _ = inception_score_from_probs(probs, splits=5)
+    np.testing.assert_allclose(mean, 1.0, rtol=1e-5)
+
+
+def test_inception_score_pipeline():
+    def probs_fn(images):
+        n = len(images)
+        p = np.abs(np.random.default_rng(0).normal(size=(n, 10))) + 1e-3
+        return p / p.sum(1, keepdims=True)
+
+    images = np.zeros((64, 8, 8, 3), dtype=np.uint8)
+    mean, std = inception_score(images, probs_fn, splits=4, batch_size=16)
+    assert mean > 0 and std >= 0
+
+
+# ------------------------------------------------------------ inception net
+
+def test_inception_architecture_shapes(rng):
+    """Random-weight forward: correct pool3/logit dims at 299 and with resize
+    from 32."""
+    import jax
+    import jax.numpy as jnp
+
+    from contrad_tpu.evaluate.inception import InceptionV3FID
+
+    model = InceptionV3FID()
+    x = jnp.zeros((2, 32, 32, 3))
+    variables = model.init(rng, x)
+    pool3, logits = model.apply(variables, x)
+    assert pool3.shape == (2, 2048)
+    assert logits.shape == (2, 1008)
+
+
+def test_checkpoint_conversion_shapes(rng):
+    """Conversion from torch naming produces exactly the init tree."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from contrad_tpu.evaluate.inception import (
+        InceptionV3FID,
+        convert_torch_checkpoint,
+    )
+
+    model = InceptionV3FID()
+    variables = model.init(rng, jnp.zeros((1, 32, 32, 3)))
+
+    # Build a fake torch state_dict with the right names/shapes from the tree.
+    state_dict = {}
+
+    def walk(tree, prefix, collection):
+        for k, v in tree.items():
+            path = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict):
+                walk(v, path, collection)
+                continue
+            arr = np.asarray(v)
+            if path.endswith("conv.kernel"):
+                state_dict[path[:-6] + "weight"] = torch.from_numpy(
+                    arr.transpose(3, 2, 0, 1).copy())
+            elif path.endswith("bn.scale"):
+                state_dict[path[:-5] + "weight"] = torch.from_numpy(arr.copy())
+            elif path.endswith("bn.bias"):
+                state_dict[path] = torch.from_numpy(arr.copy())
+            elif path.endswith("fc.kernel"):
+                state_dict["fc.weight"] = torch.from_numpy(arr.T.copy())
+            elif path.endswith("fc.bias"):
+                state_dict["fc.bias"] = torch.from_numpy(arr.copy())
+            elif path.endswith("bn.mean"):
+                state_dict[path[:-4] + "running_mean"] = torch.from_numpy(arr.copy())
+            elif path.endswith("bn.var"):
+                state_dict[path[:-3] + "running_var"] = torch.from_numpy(arr.copy())
+
+    walk(variables["params"], "", "params")
+    walk(variables["batch_stats"], "", "batch_stats")
+
+    converted = convert_torch_checkpoint(state_dict)
+    flat_init = jax.tree_util.tree_leaves_with_path(variables)
+    flat_conv = jax.tree_util.tree_leaves_with_path(converted)
+    assert len(flat_init) == len(flat_conv)
+    paths_init = {jax.tree_util.keystr(p): v.shape for p, v in flat_init}
+    paths_conv = {jax.tree_util.keystr(p): np.asarray(v).shape for p, v in flat_conv}
+    assert paths_init == paths_conv
+    # values roundtrip exactly
+    for p, v in flat_conv:
+        key = jax.tree_util.keystr(p)
+        want = dict(paths_init)[key]
+    got0 = np.asarray(converted["params"]["Conv2d_1a_3x3"]["conv"]["kernel"])
+    want0 = np.asarray(variables["params"]["Conv2d_1a_3x3"]["conv"]["kernel"])
+    np.testing.assert_allclose(got0, want0)

@@ -1,0 +1,255 @@
+#!/usr/bin/env python
+"""StyleGAN2 training CLI (reference: ``train_stylegan2.py``).
+
+Command parity:
+
+    python train_stylegan2.py configs/gan/stylegan2/c10_style64.toml stylegan2 \
+        --mode contrad --aug simclr --lbd_r1 0.1 --no_lazy --halflife_k 1000 \
+        --use_warmup
+
+Reference semantics kept: EMA accumulate with pre-update params gated on
+ema_start_k, G update before D, the D update reuses the G-phase fakes, lazy R1
+every d_reg_every steps with (0.5*lbd_r1)*r1*d_reg_every scaling, style mixing
+0.9, FID/GIF on g_ema, run-name encoding R/mix/H/lr/Lazy.
+
+Deviation (documented): with --use_warmup the reference's per-step warmup
+writeback overwrites the half-life LR decay on 999 of 1000 steps
+(train_stylegan2.py:166-172 ordering); here the schedule composes
+warmup * stepped-half-life as clearly intended.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="TPU-native StyleGAN2 training")
+    p.add_argument("config", type=str)
+    p.add_argument("architecture", type=str, help="stylegan2 | stylegan2_512")
+
+    p.add_argument("--mode", default="std", type=str)
+    p.add_argument("--penalty", default="none", type=str)
+    p.add_argument("--aug", default="none", type=str)
+    p.add_argument("--use_warmup", action="store_true")
+
+    p.add_argument("--temp", default=0.1, type=float)
+    p.add_argument("--lbd_a", default=1.0, type=float)
+
+    # StyleGAN2 specifics (reference train_stylegan2.py:53-65)
+    p.add_argument("--no_lazy", action="store_true",
+                   help="R1 every step instead of every d_reg_every")
+    p.add_argument("--d_reg_every", default=16, type=int)
+    p.add_argument("--lbd_r1", default=10.0, type=float)
+    p.add_argument("--style_mix", default=0.9, type=float)
+    p.add_argument("--halflife_k", default=20, type=int,
+                   help="EMA half-life in thousands of images")
+    p.add_argument("--ema_start_k", default=None, type=int)
+    p.add_argument("--halflife_lr", default=0, type=int,
+                   help="LR half-life in images; 0 disables decay")
+
+    p.add_argument("--no_fid", action="store_true")
+    p.add_argument("--no_gif", action="store_true")
+    p.add_argument("--n_eval_avg", default=3, type=int)
+    p.add_argument("--print_every", default=50, type=int)
+    p.add_argument("--evaluate_every", default=2000, type=int)
+    p.add_argument("--save_every", default=100000, type=int)
+    p.add_argument("--comment", default="", type=str)
+
+    p.add_argument("--resume", default=None, type=str)
+    p.add_argument("--finetune", default=None, type=str)
+
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
+    p.add_argument("--override", nargs="*", default=[])
+    p.add_argument("--logdir_root", default="logs", type=str)
+    return p.parse_args()
+
+
+def main():
+    P = parse_args()
+    if P.platform == "cpu":
+        os.environ.setdefault(
+            "XLA_FLAGS",
+            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+
+    import jax
+
+    if P.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    import imageio
+    import jax.numpy as jnp
+
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.config import default_config_files, finalize_options, load_config
+    from contrad_tpu.data import BatchIterator, get_dataset
+    from contrad_tpu.evaluate import FixedSampleGeneration, ImageGrid
+    from contrad_tpu.models import get_architecture
+    from contrad_tpu.parallel import get_mesh
+    from contrad_tpu.training import (
+        count_parameters, create_train_state, make_optimizer, run_filename)
+    from contrad_tpu.training.step import StyleGAN2Trainer
+    from contrad_tpu.utils import (
+        Logger, has_checkpoint, restore_checkpoint, save_checkpoint)
+
+    cfg = load_config(default_config_files(P.config), P.override)
+    finalize_options(cfg)
+    opt = cfg.options
+
+    if P.no_lazy:
+        P.d_reg_every = 1
+    if P.ema_start_k is None:
+        P.ema_start_k = P.halflife_k
+    accum = 0.5 ** (opt.batch_size / (P.halflife_k * 1000))
+
+    train_set, _, image_size = get_dataset(opt.dataset)
+    mesh = get_mesh()
+    n_dev = len(mesh.devices.ravel())
+    if opt.batch_size % n_dev:
+        raise ValueError(
+            f"global batch {opt.batch_size} must divide device count {n_dev}")
+
+    generator, discriminator = get_architecture(P.architecture, image_size)
+
+    # LR schedule: warmup * stepped half-life decay (reference
+    # train_stylegan2.py:93-103; see module docstring for the deviation).
+    def lr_decay_fn(count):
+        if P.halflife_lr <= 0:
+            return 1.0
+        boundary = (count // 1000) * 1000
+        return 0.5 ** (boundary * opt.batch_size / P.halflife_lr)
+
+    g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
+                                 use_warmup=P.use_warmup, lr_decay_fn=lr_decay_fn)
+    d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,
+                                 use_warmup=P.use_warmup, lr_decay_fn=lr_decay_fn)
+
+    augment_fn = get_augment(P.aug, cfg.get("augment"))
+    trainer = StyleGAN2Trainer(
+        generator, discriminator, mode=P.mode, augment_fn=augment_fn,
+        g_optimizer=g_optimizer, d_optimizer=d_optimizer,
+        loss_type=opt.loss, penalty=P.penalty, temp=P.temp, lbd_a=P.lbd_a,
+        lbd=opt.lbd, lbd2=opt.lbd2, n_critic=opt.n_critic,
+        lbd_r1=P.lbd_r1, d_reg_every=P.d_reg_every, style_mix=P.style_mix,
+        ema=True, mesh=mesh)
+
+    state = create_train_state(jax.random.PRNGKey(P.seed), generator,
+                               discriminator, image_size, g_optimizer,
+                               d_optimizer, ema=True)
+
+    filename = run_filename(P.mode, P.penalty, P.aug, P.temp, P.lbd_a)
+    desc = f"R{P.lbd_r1}_mix{P.style_mix}_H{P.halflife_k}"
+    if P.halflife_lr > 0:
+        desc += f"_lr{P.halflife_lr / 1e6:.1f}M"
+    desc += "_NoLazy" if P.no_lazy else "_Lazy"
+    comment = f"_{P.comment}" if P.comment else ""
+    gin_stem = Path(P.config).stem
+    if P.resume:
+        logger = Logger(None, resume=P.resume, root=P.logdir_root)
+    else:
+        logger = Logger(f"{filename}_{desc}{comment}",
+                        subdir=f"gan_dp/st_{gin_stem}/{P.architecture}",
+                        root=P.logdir_root)
+        shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
+
+    if P.resume and has_checkpoint(P.resume):
+        state = restore_checkpoint(P.resume, state)
+        logger.log(f"Checkpoint loaded from '{P.resume}' (step {int(state.step)})")
+    if P.finetune and has_checkpoint(P.finetune):
+        loaded = restore_checkpoint(P.finetune, state)
+        d_params = dict(loaded.d_params)
+        d_params["linear"] = state.d_params["linear"]
+        state = state.replace(d_params=type(state.d_params)(d_params),
+                              d_state=loaded.d_state)
+        logger.log(f"Checkpoint loaded for fine-tuning from '{P.finetune}'")
+
+    state = trainer.place_state(state)
+    starting_step = int(state.step) + 1
+
+    logger.log(f"# Params - G: {count_parameters(state.g_params)}, "
+               f"D: {count_parameters(state.d_params)}")
+    logger.log(str(opt.to_dict()))
+    logger.log(f"Use G moving average: {accum}")
+    logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
+
+    loader = BatchIterator(train_set, opt.batch_size * opt.n_critic,
+                           seed=P.seed)
+
+    eval_seed = int(np.random.randint(10000))
+    fixed_gen = FixedSampleGeneration(
+        generator, jax.random.PRNGKey(P.seed + 1), volatile=P.no_gif)
+    image_grid = ImageGrid(volatile=P.no_gif)
+    aug_preview = jax.jit(lambda r, x: augment_fn(r, x))
+
+    fid = None
+    if not P.no_fid:
+        try:
+            from contrad_tpu.evaluate.fid import FIDScore
+
+            fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg)
+        except Exception as e:
+            logger.log(f"FID disabled: {e}")
+
+    logger.log_dirname(f"Steps {starting_step}")
+    t0, imgs_seen = time.time(), 0
+    for step in range(starting_step, opt.max_steps + 1):
+        do_r1 = (step % P.d_reg_every == 0) and (P.lbd_r1 > 0)
+        do_ema = (step * opt.batch_size) > (P.ema_start_k * 1000)
+        ema_decay = accum if do_ema else 0.0
+
+        images, _ = next(loader)
+        batch = trainer.place_batch(images)
+        state, metrics = trainer.train_step(state, batch, ema_decay=ema_decay,
+                                            do_r1=do_r1)
+        imgs_seen += opt.batch_size
+
+        if step % P.print_every == 0:
+            m = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            logger.log("[Steps %7d] [G %.3f] [D %.3f] [%.1f img/s]"
+                       % (step, m["G_loss"], m["D_loss"],
+                          imgs_seen / max(dt, 1e-9)))
+            for name, value in m.items():
+                logger.scalar_summary("gan/train/" + name, value, step)
+            t0, imgs_seen = time.time(), 0
+
+        if step % P.evaluate_every == 0:
+            logger.log_dirname(f"Steps {step + 1}")
+            if fid is not None:
+                fid_avg = fid.update(step, lambda n, r: np.asarray(
+                    jax.device_get(trainer.sample_fn(state, n, True, False))))
+                fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
+                logger.scalar_summary("gan/test/fid", fid_avg, step)
+                logger.scalar_summary("gan/test/fid/best", fid.best, step)
+            if not P.no_gif:
+                fixed_gen.update(
+                    lambda z: trainer.sample_from_z(state, z, use_ema=True))
+                imageio.mimsave(
+                    os.path.join(logger.logdir, f"training_progress_{eval_seed}.gif"),
+                    fixed_gen.summary())
+                grid = image_grid.update(aug_preview(
+                    jax.random.PRNGKey(step), trainer.place_batch(
+                        images[: opt.batch_size].astype(np.float32) / 255.0)))
+                if grid is not None:
+                    imageio.imsave(
+                        os.path.join(logger.logdir, f"real_augment_{eval_seed}.jpg"),
+                        grid)
+            save_checkpoint(logger.logdir, state, "latest")
+            if fid is not None and fid.is_best:
+                save_checkpoint(logger.logdir, state, "best")
+            if step % P.save_every == 0:
+                save_checkpoint(logger.logdir, state, f"step_{step}")
+
+    logger.log("Training finished.")
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()
