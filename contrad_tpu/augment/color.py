@@ -129,9 +129,13 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augme
     def fn(rng, x):
         r_order, r_c, r_hsv = jax.random.split(rng, 3)
         contrast_first = jax.random.bernoulli(r_order, 0.5)
-        y1 = adjust_hsv(r_hsv, adjust_contrast(r_c, x))
-        y2 = adjust_contrast(r_c, adjust_hsv(r_hsv, x))
-        return jnp.where(contrast_first, y1, y2)
+        # lax.cond: evaluate only one transform order (batch-level randomness,
+        # reference color_jitter.py:66-70)
+        return jax.lax.cond(
+            contrast_first,
+            lambda im: adjust_hsv(r_hsv, adjust_contrast(r_c, im)),
+            lambda im: adjust_contrast(r_c, adjust_hsv(r_hsv, im)),
+            x)
 
     return fn
 

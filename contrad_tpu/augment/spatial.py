@@ -17,7 +17,11 @@ from typing import Callable, Tuple
 import jax
 import jax.numpy as jnp
 
-from contrad_tpu.ops.resample import affine_transform, identity_theta
+from contrad_tpu.ops.resample import (
+    affine_transform,
+    axis_aligned_transform,
+    identity_theta,
+)
 
 Augment = Callable[[jax.Array, jax.Array], jax.Array]
 
@@ -46,10 +50,9 @@ def hflip_random_crop(max_pixels: int, padding_mode: str = "reflection") -> Augm
         bias = jax.random.randint(
             r_bias, (n, 2), -max_pixels, max_pixels + 1
         ).astype(jnp.float32) / (w / 2.0)
-        theta = identity_theta(n)
-        theta = theta.at[:, 0, 0].set(sign)
-        theta = theta.at[:, :, 2].set(bias)
-        return affine_transform(x, theta, mode="nearest", padding_mode=padding_mode)
+        return axis_aligned_transform(
+            x, sign, jnp.ones((n,)), bias[:, 0], bias[:, 1],
+            mode="nearest", padding_mode=padding_mode)
 
     return fn
 
@@ -62,9 +65,10 @@ def random_crop(max_pixels: int, padding_mode: str = "reflection") -> Augment:
         bias = jax.random.randint(
             rng, (n, 2), -max_pixels, max_pixels + 1
         ).astype(jnp.float32) / (w / 2.0)
-        theta = identity_theta(n)
-        theta = theta.at[:, :, 2].set(bias)
-        return affine_transform(x, theta, mode="nearest", padding_mode=padding_mode)
+        ones = jnp.ones((n,))
+        return axis_aligned_transform(
+            x, ones, ones, bias[:, 0], bias[:, 1],
+            mode="nearest", padding_mode=padding_mode)
 
     return fn
 
@@ -117,12 +121,8 @@ def random_resize_crop(
         bx = jnp.where(any_valid, bias_w, 0.0)
         by = jnp.where(any_valid, bias_h, 0.0)
 
-        theta = identity_theta(n)
-        theta = theta.at[:, 0, 0].set(sx)
-        theta = theta.at[:, 1, 1].set(sy)
-        theta = theta.at[:, 0, 2].set(bx)
-        theta = theta.at[:, 1, 2].set(by)
-        return affine_transform(x, theta, mode="bilinear", padding_mode="reflection")
+        return axis_aligned_transform(
+            x, sx, sy, bx, by, mode="bilinear", padding_mode="reflection")
 
     return fn
 

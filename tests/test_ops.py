@@ -130,3 +130,31 @@ def test_fused_leaky_relu(np_rng):
     ref = np.asarray(x) + np.asarray(b).reshape(1, 1, 1, 8)
     ref = np.where(ref >= 0, ref, 0.2 * ref) * np.sqrt(2.0)
     np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("padding", ["zeros", "border", "reflection"])
+def test_axis_aligned_matches_general(mode, padding, np_rng):
+    """The matmul-based axis-aligned warp must equal the (torch-verified)
+    gather-based grid_sample for diagonal thetas."""
+    from contrad_tpu.ops.resample import axis_aligned_transform
+
+    n = 4
+    images = jnp.asarray(np_rng.uniform(size=(n, 12, 16, 3)).astype(np.float32))
+    sx = jnp.asarray(np_rng.uniform(0.4, 1.4, n).astype(np.float32))
+    sy = jnp.asarray(np_rng.uniform(0.4, 1.4, n).astype(np.float32))
+    bx = jnp.asarray(np_rng.uniform(-0.4, 0.4, n).astype(np.float32))
+    by = jnp.asarray(np_rng.uniform(-0.4, 0.4, n).astype(np.float32))
+    sx = sx.at[0].set(-1.0)  # include a mirror
+
+    theta = jnp.zeros((n, 2, 3))
+    theta = theta.at[:, 0, 0].set(sx).at[:, 1, 1].set(sy)
+    theta = theta.at[:, 0, 2].set(bx).at[:, 1, 2].set(by)
+
+    from contrad_tpu.ops.resample import affine_transform
+
+    want = affine_transform(images, theta, mode=mode, padding_mode=padding)
+    got = axis_aligned_transform(images, sx, sy, bx, by, mode=mode,
+                                 padding_mode=padding)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-4, atol=1e-5)
