@@ -72,4 +72,40 @@ class BatchIterator:
             self._reshuffle()
         idx = self._order[self._pos : self._pos + self.batch_size]
         self._pos += self.batch_size
-        return self.dataset.images[idx], self.dataset.labels[idx]
+        # Native multithreaded gather (contrad_tpu/data/native): matters for
+        # memmapped high-res folders (~50 MB/batch at 512^2).
+        from contrad_tpu.data import native
+
+        return native.gather_batch(self.dataset.images, idx), self.dataset.labels[idx]
+
+
+class PrefetchIterator:
+    """Wraps a batch iterator with a background thread that assembles (and
+    optionally device_puts) the next batch while the current step runs —
+    the reference's DataLoader worker/pin_memory overlap, without processes."""
+
+    def __init__(self, it, place_fn=None, depth: int = 2):
+        import queue
+        import threading
+
+        self._it = it
+        self._place = place_fn or (lambda x: x)
+        self._q: "queue.Queue" = queue.Queue(maxsize=depth)
+        self._stop = False
+
+        def worker():
+            while not self._stop:
+                images, labels = next(self._it)
+                self._q.put((self._place(images), labels))
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop = True

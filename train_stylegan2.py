@@ -90,6 +90,7 @@ def main():
     from contrad_tpu.augment import get_augment
     from contrad_tpu.config import default_config_files, finalize_options, load_config
     from contrad_tpu.data import BatchIterator, get_dataset
+    from contrad_tpu.data.core import PrefetchIterator
     from contrad_tpu.evaluate import FixedSampleGeneration, ImageGrid
     from contrad_tpu.models import get_architecture
     from contrad_tpu.parallel import get_mesh
@@ -179,8 +180,9 @@ def main():
     logger.log(f"Use G moving average: {accum}")
     logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
 
-    loader = BatchIterator(train_set, opt.batch_size * opt.n_critic,
-                           seed=P.seed)
+    loader = PrefetchIterator(
+        BatchIterator(train_set, opt.batch_size * opt.n_critic, seed=P.seed),
+        place_fn=trainer.place_batch)
 
     eval_seed = int(np.random.randint(10000))
     fixed_gen = FixedSampleGeneration(
@@ -204,8 +206,7 @@ def main():
         do_ema = (step * opt.batch_size) > (P.ema_start_k * 1000)
         ema_decay = accum if do_ema else 0.0
 
-        images, _ = next(loader)
-        batch = trainer.place_batch(images)
+        batch, _ = next(loader)  # prefetched + already on device
         state, metrics = trainer.train_step(state, batch, ema_decay=ema_decay,
                                             do_r1=do_r1)
         imgs_seen += opt.batch_size
@@ -235,8 +236,8 @@ def main():
                     os.path.join(logger.logdir, f"training_progress_{eval_seed}.gif"),
                     fixed_gen.summary())
                 grid = image_grid.update(aug_preview(
-                    jax.random.PRNGKey(step), trainer.place_batch(
-                        images[: opt.batch_size].astype(np.float32) / 255.0)))
+                    jax.random.PRNGKey(step),
+                    batch[: opt.batch_size].astype(jnp.float32) / 255.0))
                 if grid is not None:
                     imageio.imsave(
                         os.path.join(logger.logdir, f"real_augment_{eval_seed}.jpg"),
