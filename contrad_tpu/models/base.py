@@ -166,3 +166,19 @@ def l2_normalize_rows(x: jax.Array, eps: float = 1e-12) -> jax.Array:
     """F.normalize(x, dim=1) equivalent."""
     norm = jnp.linalg.norm(x, axis=1, keepdims=True)
     return x / jnp.maximum(norm, eps)
+
+
+class NullDiscriminator(nn.Module):
+    """Identity-score D: sums inputs per sample (reference base.py:64-70)."""
+
+    @nn.compact
+    def __call__(self, x, y=None, train: bool = True):
+        return jnp.sum(x.reshape(x.shape[0], -1), axis=1, keepdims=True)
+
+
+def projection(d_apply, d_params, d_state, inputs, train: bool = True):
+    """Convenience: run D and return the (un-normalized) projection head
+    output (reference base.py:73-76; the reference's `+ d.mean()*0` nuisance
+    is unnecessary without DDP)."""
+    (_, aux), new_state = d_apply(d_params, d_state, inputs, train=train)
+    return aux["projection"], new_state

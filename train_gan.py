@@ -62,6 +62,9 @@ def parse_args():
     p.add_argument("--override", nargs="*", default=[],
                    help="Config overrides like options.lr=1e-4")
     p.add_argument("--logdir_root", default="logs", type=str)
+    p.add_argument("--trace_steps", default=0, type=int,
+                   help="Capture a jax.profiler trace of N steps (written to "
+                        "<logdir>/profile; view with tensorboard)")
     return p.parse_args()
 
 
@@ -177,6 +180,9 @@ def main():
 
     sample_from_z = lambda z: trainer.sample_from_z(state, z)
 
+    if P.trace_steps > 0:
+        jax.profiler.start_trace(os.path.join(logger.logdir, "profile"))
+
     logger.log_dirname(f"Steps {starting_step}")
     t0 = time.time()
     imgs_seen = 0
@@ -184,6 +190,12 @@ def main():
         batch, _ = next(loader)  # prefetched + already on device
         state, metrics = trainer.train_step(state, batch)
         imgs_seen += opt.batch_size
+
+        if P.trace_steps > 0 and step == starting_step + P.trace_steps:
+            jax.block_until_ready(state.g_params)
+            jax.profiler.stop_trace()
+            logger.log(f"Profiler trace written to {logger.logdir}/profile")
+            P.trace_steps = 0
 
         if step % P.print_every == 0:
             m = {k: float(v) for k, v in metrics.items()}

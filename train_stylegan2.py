@@ -69,6 +69,9 @@ def parse_args():
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--logdir_root", default="logs", type=str)
+    p.add_argument("--trace_steps", default=0, type=int,
+                   help="Capture a jax.profiler trace of N steps (written to "
+                        "<logdir>/profile; view with tensorboard)")
     return p.parse_args()
 
 
@@ -199,6 +202,9 @@ def main():
         except Exception as e:
             logger.log(f"FID disabled: {e}")
 
+    if P.trace_steps > 0:
+        jax.profiler.start_trace(os.path.join(logger.logdir, "profile"))
+
     logger.log_dirname(f"Steps {starting_step}")
     t0, imgs_seen = time.time(), 0
     for step in range(starting_step, opt.max_steps + 1):
@@ -210,6 +216,12 @@ def main():
         state, metrics = trainer.train_step(state, batch, ema_decay=ema_decay,
                                             do_r1=do_r1)
         imgs_seen += opt.batch_size
+
+        if P.trace_steps > 0 and step == starting_step + P.trace_steps:
+            jax.block_until_ready(state.g_params)
+            jax.profiler.stop_trace()
+            logger.log(f"Profiler trace written to {logger.logdir}/profile")
+            P.trace_steps = 0
 
         if step % P.print_every == 0:
             m = {k: float(v) for k, v in metrics.items()}
