@@ -22,31 +22,43 @@ from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
 
 
 def get_architecture(
-    architecture: str, image_size: Tuple[int, int, int]
+    architecture: str, image_size: Tuple[int, int, int], dtype=None
 ) -> Tuple[nn.Module, Discriminator]:
+    """dtype: compute dtype for the conv stacks (e.g. jnp.bfloat16); params,
+    heads and losses always stay float32."""
+    import jax.numpy as jnp
+
+    dtype = dtype or jnp.float32
+    if isinstance(dtype, str):
+        dtype = jnp.dtype(dtype)
     if architecture == "sndcgan":
-        generator = GSndcgan(image_size=image_size)
-        discriminator = DSndcgan(image_size=image_size, mlp_linear=True, d_hidden=512)
+        generator = GSndcgan(image_size=image_size, dtype=dtype)
+        discriminator = DSndcgan(image_size=image_size, mlp_linear=True,
+                                 d_hidden=512, dtype=dtype)
     elif architecture == "snresnet18":
         from contrad_tpu.models.snresnet import DSnresnet18
 
-        generator = GSndcgan(image_size=image_size)
-        discriminator = DSnresnet18(mlp_linear=True, d_hidden=1024)
+        generator = GSndcgan(image_size=image_size, dtype=dtype)
+        discriminator = DSnresnet18(mlp_linear=True, d_hidden=1024, dtype=dtype)
     elif architecture == "stylegan2":
         from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2
 
         resolution = image_size[0]
-        generator = GStylegan2(size=resolution, n_mlp=8, small32=True)
+        generator = GStylegan2(size=resolution, n_mlp=8, small32=True,
+                               dtype=dtype)
         discriminator = DStylegan2(
-            size=resolution, small32=True, mlp_linear=True, d_hidden=512
+            size=resolution, small32=True, mlp_linear=True, d_hidden=512,
+            dtype=dtype
         )
     elif architecture == "stylegan2_512":
         from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2
 
         resolution = image_size[0]
-        generator = GStylegan2(size=resolution, n_mlp=8, channel_multiplier=1.0)
+        generator = GStylegan2(size=resolution, n_mlp=8, channel_multiplier=1.0,
+                               dtype=dtype)
         discriminator = DStylegan2(
-            size=resolution, channel_multiplier=1.0, mlp_linear=True, d_hidden=512
+            size=resolution, channel_multiplier=1.0, mlp_linear=True,
+            d_hidden=512, dtype=dtype
         )
     else:
         raise NotImplementedError(f"unknown architecture: {architecture}")

@@ -9,7 +9,7 @@ preserved.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -33,17 +33,19 @@ class GSndcgan(nn.Module):
     image_size: Tuple[int, int, int]  # (H, W, C)
     ngf: int = 64
     nz: int = 128
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z: jax.Array, train: bool = True) -> jax.Array:
         s_h, s_w, nc = self.image_size
         s_hb, s_wb = s_h // 8, s_w // 8
         norm = lambda name: nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name
         )
 
         x = nn.Dense(self.ngf * 8 * s_hb * s_wb, kernel_init=dcgan_init,
-                     name="linear")(z)
+                     dtype=self.dtype, name="linear")(z.astype(self.dtype))
         x = norm("norm_init")(x)
         x = jax.nn.relu(x)
         # Reference reshapes channel-major (N, ngf*8, s_hb, s_wb); transpose
@@ -52,13 +54,14 @@ class GSndcgan(nn.Module):
 
         for i, ch in enumerate((self.ngf * 4, self.ngf * 2, self.ngf)):
             x = nn.ConvTranspose(ch, (4, 4), strides=(2, 2), padding="SAME",
-                                 kernel_init=dcgan_init, name=f"up{i}")(x)
+                                 kernel_init=dcgan_init, dtype=self.dtype,
+                                 name=f"up{i}")(x)
             x = norm(f"norm{i}")(x)
             x = jax.nn.relu(x)
 
         x = nn.Conv(nc, (3, 3), padding="SAME", kernel_init=dcgan_init,
-                    name="to_rgb")(x)
-        x = jnp.tanh(x)
+                    dtype=self.dtype, name="to_rgb")(x)
+        x = jnp.tanh(x.astype(jnp.float32))
         return 0.5 * x + 0.5
 
     def sample_latent(self, rng: jax.Array, n: int) -> jax.Array:
@@ -73,13 +76,15 @@ class SndcganBackbone(nn.Module):
     ndf: int = 64
     normalize: bool = False
     use_sn: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
         conv = lambda ch, k, s, name: SNConv(
             ch, (k, k), strides=(s, s), padding=(k - 1) // 2 if k == 3 else 1,
-            use_sn=self.use_sn, kernel_init=dcgan_init, name=name)
-        x = x * 2.0 - 1.0
+            use_sn=self.use_sn, kernel_init=dcgan_init, dtype=self.dtype,
+            name=name)
+        x = (x * 2.0 - 1.0).astype(self.dtype)
         x = jax.nn.leaky_relu(conv(self.ndf, 3, 1, "c0")(x, train), 0.1)
         x = jax.nn.leaky_relu(conv(self.ndf * 2, 4, 2, "c1")(x, train), 0.1)
         x = jax.nn.leaky_relu(conv(self.ndf * 2, 3, 1, "c2")(x, train), 0.1)
@@ -87,7 +92,7 @@ class SndcganBackbone(nn.Module):
         x = jax.nn.leaky_relu(conv(self.ndf * 4, 3, 1, "c4")(x, train), 0.1)
         x = jax.nn.leaky_relu(conv(self.ndf * 8, 4, 2, "c5")(x, train), 0.1)
         x = jax.nn.leaky_relu(conv(self.ndf * 8, 3, 1, "c6")(x, train), 0.1)
-        x = x.reshape(x.shape[0], -1)
+        x = x.reshape(x.shape[0], -1).astype(jnp.float32)  # heads in f32
         if self.normalize:
             x = l2_normalize_rows(x)
         return x
@@ -106,9 +111,11 @@ def DSndcgan(
     disable_sn: bool = False,
     mlp_linear: bool = False,
     d_hidden: int = 128,
+    dtype: Any = jnp.float32,
 ) -> Discriminator:
     backbone = SndcganBackbone(
-        image_size=image_size, ndf=ndf, normalize=normalize, use_sn=not disable_sn
+        image_size=image_size, ndf=ndf, normalize=normalize,
+        use_sn=not disable_sn, dtype=dtype
     )
     return Discriminator(
         backbone=backbone,

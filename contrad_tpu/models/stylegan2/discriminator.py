@@ -17,7 +17,7 @@ stays on one device, so the op stays collective-free.
 from __future__ import annotations
 
 import math
-from typing import Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,10 +39,11 @@ def minibatch_stddev(x: jax.Array, stddev_group: int = 4,
     discriminator.py:22-33), with contiguous grouping (see module docstring)."""
     n, h, w, c = x.shape
     group = min(n, stddev_group)
-    g = x.reshape(n // group, group, h, w, stddev_feat, c // stddev_feat)
-    std = jnp.sqrt(jnp.var(g, axis=1) + 1e-8)  # biased var over the group
+    g = x.astype(jnp.float32).reshape(
+        n // group, group, h, w, stddev_feat, c // stddev_feat)
+    std = jnp.sqrt(jnp.var(g, axis=1) + 1e-8)  # biased var over the group, f32
     std = jnp.mean(std, axis=(1, 2, 3, 4), keepdims=True)  # (n//group,1,1,1,1)
-    std = std[..., 0]  # (n//group, 1, 1, 1)
+    std = std[..., 0].astype(x.dtype)  # (n//group, 1, 1, 1)
     std = jnp.tile(std, (1, group, h, w)).reshape(n, h, w, 1)
     return jnp.concatenate([x, std], axis=-1)
 
@@ -74,11 +75,12 @@ class ResidualBackbone(nn.Module):
     channel_multiplier: float = 2.0
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     small32: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = True):
         channels = stylegan2_channels(self.channel_multiplier, self.small32)
-        x = x * 2.0 - 1.0
+        x = (x * 2.0 - 1.0).astype(self.dtype)
         x = FromRGB(channels[self.size], name="from_rgb")(x)
         log_size = int(math.log2(self.size))
         for i in range(log_size, 2, -1):
@@ -86,7 +88,8 @@ class ResidualBackbone(nn.Module):
                          name=f"block_{2**i}")(x)
         x = minibatch_stddev(x)
         x = ConvLayer(channels[4], 3, activate=True, name="last_conv")(x)
-        return x.reshape(x.shape[0], -1)
+        # heads/losses run in f32
+        return x.reshape(x.shape[0], -1).astype(jnp.float32)
 
 
 def DStylegan2(
@@ -97,12 +100,13 @@ def DStylegan2(
     mlp_linear: bool = False,
     d_hidden: int = 128,
     n_classes: int = 1,
+    dtype: Any = jnp.float32,
 ) -> Discriminator:
     channels = stylegan2_channels(channel_multiplier, small32)
     return Discriminator(
         backbone=ResidualBackbone(
             size=size, channel_multiplier=channel_multiplier,
-            blur_kernel=tuple(blur_kernel), small32=small32),
+            blur_kernel=tuple(blur_kernel), small32=small32, dtype=dtype),
         d_penul=channels[4] * 4 * 4,
         n_classes=n_classes,
         d_hidden=d_hidden,

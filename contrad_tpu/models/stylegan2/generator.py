@@ -67,14 +67,17 @@ class ModulatedConv(nn.Module):
         weight = self.param("weight", nn.initializers.normal(stddev=1.0),
                             (k, k, in_ch, self.features))
         scale = 1.0 / math.sqrt(in_ch * k * k)
-        w = weight * scale
+        w = (weight * scale).astype(x.dtype)
 
-        s = EqualDense(in_ch, bias_init=1.0, name="modulation")(style)  # (N, in)
-        xm = x * s[:, None, None, :]
+        # modulation + demodulation stats in f32 for stability
+        s = EqualDense(in_ch, bias_init=1.0, name="modulation")(
+            style.astype(jnp.float32))  # (N, in)
+        xm = x * s[:, None, None, :].astype(x.dtype)
 
         if self.demodulate:
-            w_sq = jnp.sum(w**2, axis=(0, 1))  # (in, out)
+            w_sq = jnp.sum((weight * scale) ** 2, axis=(0, 1))  # (in, out) f32
             demod = jax.lax.rsqrt(jnp.matmul(s**2, w_sq) + self.eps)  # (N, out)
+            demod = demod.astype(x.dtype)
 
         if self.upsample:
             y = jax.lax.conv_transpose(
@@ -106,7 +109,7 @@ class NoiseInjection(nn.Module):
             n, h, w, _ = x.shape
             noise = jax.random.normal(self.make_rng("noise"), (n, h, w, 1),
                                       dtype=x.dtype)
-        return x + weight * noise
+        return x + weight.astype(x.dtype) * noise.astype(x.dtype)
 
 
 class ConstantInput(nn.Module):
@@ -114,11 +117,14 @@ class ConstantInput(nn.Module):
 
     channels: int
     size: int = 4
+    dtype: Any = None
 
     @nn.compact
-    def __call__(self, batch: int):
+    def __call__(self, batch: int, dtype=None):
         const = self.param("const", nn.initializers.normal(stddev=1.0),
                            (1, self.size, self.size, self.channels))
+        if dtype is not None:
+            const = const.astype(dtype)
         return jnp.tile(const, (batch, 1, 1, 1))
 
 
@@ -151,7 +157,7 @@ class ToRGB(nn.Module):
     def __call__(self, x, style, skip=None):
         out = ModulatedConv(3, 1, demodulate=False, name="conv")(x, style)
         bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
-        out = out + bias
+        out = out + bias.astype(out.dtype)
         if skip is not None:
             skip = upsample2d(skip, make_kernel(self.blur_kernel))
             out = out + skip
@@ -169,6 +175,7 @@ class GStylegan2(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     lr_mlp: float = 0.01
     small32: bool = False
+    dtype: Any = jnp.float32  # synthesis compute dtype (style MLP stays f32)
 
     @property
     def log_size(self) -> int:
@@ -255,7 +262,7 @@ class GStylegan2(nn.Module):
             mask = (layer_idx < mix_layer[:, None]).astype(latents.dtype)[..., None]
             latents = latents * mask + latent_mix * (1.0 - mask)
 
-        out = self.input(latents.shape[0])
+        out = self.input(latents.shape[0], dtype=self.dtype)
         out = self.conv1(out, latents[:, 0], noise=noise[0])
         skip = self.to_rgb1(out, latents[:, 1])
 
@@ -267,7 +274,7 @@ class GStylegan2(nn.Module):
             skip = to_rgb(out, latents[:, idx + 2], skip)
             idx += 2
 
-        image = 0.5 * skip + 0.5
+        image = 0.5 * skip.astype(jnp.float32) + 0.5
         if not train:
             image = jnp.clip(image, 0.0, 1.0)
         if return_latents:

@@ -43,8 +43,8 @@ class EqualDense(nn.Module):
             (in_dim, self.features))
         bias = self.param("bias", nn.initializers.zeros, (self.features,))
         scale = (1.0 / math.sqrt(in_dim)) * self.lr_mul
-        b = bias * self.lr_mul + self.bias_init
-        y = jnp.matmul(x, weight * scale)
+        b = (bias * self.lr_mul + self.bias_init).astype(x.dtype)
+        y = jnp.matmul(x, (weight * scale).astype(x.dtype))
         if self.activation:
             return fused_leaky_relu(y, b)
         return y + b
@@ -68,12 +68,13 @@ class EqualConv(nn.Module):
                             (k, k, in_ch, self.features))
         scale = 1.0 / math.sqrt(in_ch * k * k)
         y = jax.lax.conv_general_dilated(
-            x, weight * scale, window_strides=(self.stride, self.stride),
+            x, (weight * scale).astype(x.dtype),
+            window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
-            y = y + bias
+            y = y + bias.astype(x.dtype)
         return y
 
 

@@ -29,7 +29,7 @@ def fused_leaky_relu(
     """out = leaky_relu(x + bias[channel]) * scale. Channels are the last axis
     (NHWC; reference is NCHW)."""
     if bias is not None:
-        x = x + bias.reshape((1,) * (x.ndim - 1) + (-1,))
+        x = x + bias.reshape((1,) * (x.ndim - 1) + (-1,)).astype(x.dtype)
     return jax.nn.leaky_relu(x, negative_slope) * scale
 
 

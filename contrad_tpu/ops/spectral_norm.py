@@ -73,13 +73,16 @@ def spectral_normalize(
 
 
 class SNDense(nn.Module):
-    """Dense layer with optional spectral norm (reference: SN'd nn.Linear)."""
+    """Dense layer with optional spectral norm (reference: SN'd nn.Linear).
+
+    ``dtype`` is the compute dtype (params and SN math stay float32)."""
 
     features: int
     use_bias: bool = True
     use_sn: bool = True
     kernel_init: Initializer = nn.initializers.lecun_normal()
     bias_init: Initializer = nn.initializers.zeros
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -88,10 +91,10 @@ class SNDense(nn.Module):
             w2d = kernel.T  # (out, in): output dim first, as torch reshapes
             w2d = spectral_normalize(self, w2d, update=train)
             kernel = w2d.T
-        y = jnp.matmul(x, kernel)
+        y = jnp.matmul(x.astype(self.dtype), kernel.astype(self.dtype))
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias
+            y = y + bias.astype(self.dtype)
         return y
 
 
@@ -111,6 +114,7 @@ class SNConv(nn.Module):
     use_sn: bool = True
     kernel_init: Initializer = nn.initializers.lecun_normal()
     bias_init: Initializer = nn.initializers.zeros
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = True) -> jax.Array:
@@ -125,15 +129,15 @@ class SNConv(nn.Module):
         if isinstance(padding, int):
             padding = ((padding, padding), (padding, padding))
         y = jax.lax.conv_general_dilated(
-            x,
-            kernel,
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
             window_strides=tuple(self.strides),
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:
             bias = self.param("bias", self.bias_init, (self.features,))
-            y = y + bias
+            y = y + bias.astype(self.dtype)
         return y
 
 

@@ -148,3 +148,30 @@ def test_sampling(devices):
     samples = trainer.sample_fn(state, 4, False, False)
     assert samples.shape == (4,) + IMG
     assert float(samples.min()) >= 0.0 and float(samples.max()) <= 1.0
+
+
+def test_bf16_compute_dtype(devices):
+    """Models with dtype=bfloat16: heads/losses stay f32, metrics finite."""
+    import jax.numpy as jnp
+    from contrad_tpu.models import get_architecture
+
+    g, d = get_architecture("sndcgan", IMG, dtype=jnp.bfloat16)
+    # shrink for test speed
+    g = g.replace(ngf=8, nz=16) if hasattr(g, "replace") else g
+    g_opt = make_optimizer(2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(2e-4, (0.5, 0.999))
+    trainer = GANTrainer(
+        generator=g, discriminator=d, mode="contrad",
+        augment_fn=get_augment("hflip"),
+        g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+        mesh=get_mesh())
+    state = trainer.place_state(create_train_state(
+        jax.random.PRNGKey(0), g, d, IMG, g_opt, d_opt))
+    # params stay f32
+    assert all(x.dtype == jnp.float32 for x in jax.tree.leaves(state.g_params))
+    images = trainer.place_batch(_batch())
+    new_state, metrics = trainer.train_step(state, images)
+    for k, v in metrics.items():
+        assert np.isfinite(float(v)), k
+    samples = trainer.sample_fn(new_state, 4, False, False)
+    assert samples.dtype == jnp.float32
