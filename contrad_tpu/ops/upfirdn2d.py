@@ -30,18 +30,22 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def make_kernel(k: Sequence[float]) -> jnp.ndarray:
-    """1-D -> outer product; normalized to sum 1 (reference layers.py:23-31)."""
+def make_kernel(k: Sequence[float]) -> np.ndarray:
+    """1-D -> outer product; normalized to sum 1 (reference layers.py:23-31).
+
+    Returns NUMPY (static): FIR kernels are compile-time constants; keeping
+    them out of jnp means they stay concrete under jit (JAX hoists closure
+    arrays as tracers, which would silently disable the separable fast path
+    and the Pallas kernel's tap extraction)."""
     k = np.asarray(k, dtype=np.float32)
     if k.ndim == 1:
         k = np.outer(k, k)
-    k = k / k.sum()
-    return jnp.asarray(k)
+    return k / k.sum()
 
 
 def _depthwise(x, w_hw, strides, padding, lhs_dilation):
     c = x.shape[-1]
-    w = jnp.tile(w_hw[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
+    w = jnp.tile(jnp.asarray(w_hw)[:, :, None, None], (1, 1, 1, c))  # HWIO depthwise
     return jax.lax.conv_general_dilated(
         x, w.astype(x.dtype),
         window_strides=strides,
@@ -68,7 +72,7 @@ def upfirdn2d(
     # zero-insertion also appends up-1 trailing zeros (in*up). Fold them into
     # the high padding — identical values, correct output size.
     p1 = pad1 + (up - 1)
-    if kernel.ndim == 2 and _is_separable(kernel):
+    if getattr(kernel, "ndim", 2) == 2 and _is_separable(kernel):
         # Two rank-1 passes: ~k/2x fewer MACs for the 4x4 blur.
         kh, kw = _separate(kernel)
         y = _depthwise(x, kh[:, None], (down, 1), ((pad0, p1), (0, 0)), (up, 1))
@@ -77,7 +81,7 @@ def upfirdn2d(
                       (up, up))
 
 
-def _is_separable(kernel: jax.Array) -> bool:
+def _is_separable(kernel) -> bool:
     if isinstance(kernel, jax.core.Tracer):
         return False
     k = np.asarray(kernel)
@@ -87,7 +91,7 @@ def _is_separable(kernel: jax.Array) -> bool:
     return bool(s[1:].max(initial=0.0) < 1e-6 * max(s[0], 1e-30))
 
 
-def _separate(kernel: jax.Array):
+def _separate(kernel):
     k = np.asarray(kernel)
     u, s, vt = np.linalg.svd(k)
     col = u[:, 0] * np.sqrt(s[0])
@@ -95,7 +99,7 @@ def _separate(kernel: jax.Array):
     # keep positive orientation for the (all-positive) blur kernels
     if col.sum() < 0:
         col, row = -col, -row
-    return jnp.asarray(col.astype(np.float32)), jnp.asarray(row.astype(np.float32))
+    return col.astype(np.float32), row.astype(np.float32)
 
 
 # ---------------------------------------------------------------- wrappers

@@ -264,3 +264,28 @@ def test_stylegan2_trainer_step_with_r1(devices):
     assert int(state.step) == 2
     for k, v in m2.items():
         assert np.isfinite(float(v)), k
+
+
+def test_pallas_blur_matches_xla(np_rng):
+    """The Pallas fused blur (interpreter mode on CPU) must match the XLA
+    composite (tools/pallas_blur_bench.py measures the on-chip choice)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from contrad_tpu.ops.pallas_blur import pallas_blur2d
+
+    x = jnp.asarray(np_rng.normal(size=(2, 19, 13, 128)).astype(np.float32))
+    k = make_kernel([1, 3, 3, 1])
+    with pltpu.force_tpu_interpret_mode():
+        got = pallas_blur2d(x, k, (2, 2), tile_h=8)
+    want = blur2d(x, k, (2, 2))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_blur_rejects_unaligned_channels(np_rng):
+    from contrad_tpu.ops.pallas_blur import pallas_blur2d
+
+    x = jnp.zeros((2, 8, 8, 32))
+    with pytest.raises(ValueError):
+        pallas_blur2d(x, make_kernel([1, 3, 3, 1]), (2, 2))

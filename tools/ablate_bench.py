@@ -1,3 +1,6 @@
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import time
 import jax, jax.numpy as jnp, numpy as np
 from contrad_tpu.augment import get_augment
