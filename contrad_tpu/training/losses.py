@@ -94,3 +94,23 @@ def gan_g_loss(d_gen: jax.Array, loss_type: str) -> jax.Array:
     if loss_type == "lsgan":
         return 0.5 * jnp.mean((d_gen - 1.0) ** 2)
     return -jnp.mean(d_gen)
+
+
+def target_nll_loss(log_probs: jax.Array, targets: jax.Array,
+                    reduction: str = "none") -> jax.Array:
+    """Margin helper (reference ``criterion.py:8-21``, kept for parity; unused
+    by the training modes): max over non-target classes of
+    (log_prob - target_log_prob)."""
+    n = log_probs.shape[0]
+    target_lp = jnp.take_along_axis(log_probs, targets[:, None], axis=1)
+    diff = log_probs - target_lp
+    diff = jnp.where(
+        jax.nn.one_hot(targets, log_probs.shape[1], dtype=bool), -1e8, diff)
+    diff_max = jnp.max(diff, axis=1)
+    if reduction == "sum":
+        return jnp.sum(diff_max)
+    if reduction == "mean":
+        return jnp.mean(diff_max)
+    if reduction == "none":
+        return diff_max
+    raise NotImplementedError(f"unknown reduction: {reduction}")

@@ -1,0 +1,93 @@
+"""Optimizer schedule semantics + checkpoint round-trip."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
+from contrad_tpu.training.state import create_train_state, make_optimizer
+
+IMG = (16, 16, 3)
+
+
+def _lr_of(tx, params, count):
+    """Extract the effective LR at a given update count by applying the
+    optimizer to a unit gradient."""
+    state = tx.init(params)
+    import optax
+
+    # advance count
+    g = jax.tree.map(jnp.zeros_like, params)
+    for _ in range(count):
+        _, state = tx.update(g, state, params)
+    ones = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(ones, state, params)
+    # adam of constant grad 1 with zero history: magnitude = lr / (1-..) ~ lr *
+    # large factor; instead test via the schedule directly is cleaner.
+    return updates
+
+
+def test_warmup_schedule_values():
+    """lr(count) = lr * min(1, (count+1)/warmup) — reference train_gan.py:88-93."""
+    lr, warmup = 2e-4, 10
+
+    def schedule(count):
+        return lr * min(1.0, (count + 1) / warmup)
+
+    # reproduce the internal schedule through optax's count by inspecting
+    # injected hyperparams via a tiny run
+    import optax
+
+    tx = make_optimizer(lr, (0.5, 0.999), warmup=warmup, use_warmup=True)
+    params = {"w": jnp.zeros((3,))}
+    state = tx.init(params)
+    g = {"w": jnp.ones((3,))}
+    # first update: lr should be lr/10; adam first step magnitude == lr_eff
+    updates, state = tx.update(g, state, params)
+    first_mag = float(jnp.abs(updates["w"][0]))
+    np.testing.assert_allclose(first_mag, lr * (1 / warmup), rtol=1e-4)
+
+
+def test_halflife_decay_fn():
+    batch = 64
+    halflife_lr = 64000  # images
+
+    def lr_decay_fn(count):
+        boundary = (count // 1000) * 1000
+        return 0.5 ** (boundary * batch / halflife_lr)
+
+    assert lr_decay_fn(0) == 1.0
+    assert lr_decay_fn(999) == 1.0  # stepped at 1000-boundaries
+    np.testing.assert_allclose(lr_decay_fn(1000), 0.5)
+    np.testing.assert_allclose(lr_decay_fn(2500), 0.25)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from contrad_tpu.utils.checkpoint import (
+        has_checkpoint,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+
+    g = GSndcgan(image_size=IMG, ngf=8, nz=16)
+    d = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True, d_hidden=32)
+    g_opt = make_optimizer(2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(2e-4, (0.5, 0.999))
+    state = create_train_state(jax.random.PRNGKey(5), g, d, IMG, g_opt, d_opt,
+                               ema=True)
+    state = state.replace(step=jnp.asarray(42, jnp.int32))
+
+    logdir = str(tmp_path / "run")
+    os.makedirs(logdir)
+    assert not has_checkpoint(logdir)
+    save_checkpoint(logdir, state, "latest")
+    assert has_checkpoint(logdir)
+
+    template = create_train_state(jax.random.PRNGKey(9), g, d, IMG, g_opt,
+                                  d_opt, ema=True)
+    restored = restore_checkpoint(logdir, template)
+    assert int(restored.step) == 42
+    for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -62,6 +62,9 @@ def parse_args():
     p.add_argument("--override", nargs="*", default=[],
                    help="Config overrides like options.lr=1e-4")
     p.add_argument("--logdir_root", default="logs", type=str)
+    p.add_argument("--multihost", action="store_true",
+                   help="Call jax.distributed.initialize() for multi-host "
+                        "slices (DCN); the same data mesh then spans all hosts")
     p.add_argument("--trace_steps", default=0, type=int,
                    help="Capture a jax.profiler trace of N steps (written to "
                         "<logdir>/profile; view with tensorboard)")
@@ -79,6 +82,8 @@ def main():
 
     if P.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if P.multihost:
+        jax.distributed.initialize()
 
     import imageio
     import jax.numpy as jnp

@@ -69,6 +69,9 @@ def parse_args():
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--logdir_root", default="logs", type=str)
+    p.add_argument("--multihost", action="store_true",
+                   help="Call jax.distributed.initialize() for multi-host "
+                        "slices (DCN); the same data mesh then spans all hosts")
     p.add_argument("--trace_steps", default=0, type=int,
                    help="Capture a jax.profiler trace of N steps (written to "
                         "<logdir>/profile; view with tensorboard)")
@@ -86,6 +89,8 @@ def main():
 
     if P.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if P.multihost:
+        jax.distributed.initialize()
 
     import imageio
     import jax.numpy as jnp
