@@ -116,6 +116,35 @@ def fid_score(sampler: SamplerFn, embed_fn: EmbedFn, ref_mu, ref_sigma,
     return float(calculate_frechet_distance(mu, sigma, ref_mu, ref_sigma))
 
 
+def moments_embed_fn(images: np.ndarray) -> np.ndarray:
+    """Weights-free debug embedder (channel/spatial moment features).
+
+    NOT a real FID metric — exists so the full in-training FID loop (stats
+    caching, n_avg trials, best tracking, CSV, best-checkpoint gating) can run
+    end-to-end in environments without the inception weights
+    (``--fid_embed moments``). Scores are only comparable to themselves."""
+    x = np.asarray(images, dtype=np.float64)
+    if images.dtype == np.uint8:
+        x = x / 255.0
+    h = x.shape[1]
+    q = max(h // 4, 1)
+    feats = [x.mean(axis=(1, 2)), x.std(axis=(1, 2))]  # per-channel
+    for i in range(0, h - q + 1, q):  # coarse 4x4 spatial grid means
+        for j in range(0, x.shape[2] - q + 1, q):
+            feats.append(x[:, i : i + q, j : j + q].mean(axis=(1, 2, 3))[:, None])
+    return np.concatenate([f.reshape(len(x), -1) for f in feats], axis=1)
+
+
+def get_embed_fn(name: str = "inception"):
+    if name == "inception":
+        from contrad_tpu.evaluate.inception import get_inception_embed_fn
+
+        return get_inception_embed_fn()
+    if name == "moments":
+        return moments_embed_fn
+    raise ValueError(f"unknown fid embedder: {name}")
+
+
 class FIDScore:
     """In-training FID tracker (reference evaluate/gan.py:85-159): lazily
     precomputes reference stats, averages n_avg trials per update, tracks the
@@ -123,11 +152,13 @@ class FIDScore:
 
     def __init__(self, dataset: str, size: int = 10000, n_avg: int = 3,
                  embed_fn: Optional[EmbedFn] = None,
-                 stats_dir: Optional[str] = None, batch_size: int = 50):
+                 stats_dir: Optional[str] = None, batch_size: int = 50,
+                 embedder: str = "inception"):
         if embed_fn is None:
-            from contrad_tpu.evaluate.inception import get_inception_embed_fn
-
-            embed_fn = get_inception_embed_fn()
+            embed_fn = get_embed_fn(embedder)
+        if embedder != "inception" and stats_dir is None:
+            # never mix debug-embedder stats with real inception stats
+            stats_dir = os.path.join(STATS_DIR, embedder)
         self.dataset = dataset
         self.size = size
         self.n_avg = n_avg

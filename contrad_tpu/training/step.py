@@ -224,8 +224,8 @@ class GANTrainer:
     # ------------------------------------------------------------- eval
 
     def _sample(self, state: GANTrainState, n: int, use_ema: bool = False,
-                train: bool = False):
-        rng = jax.random.fold_in(state.rng, 7)
+                train: bool = False, seed=7):
+        rng = jax.random.fold_in(state.rng, seed)
         z_rng, noise_rng = jax.random.split(rng)
         z = self.generator.sample_latent(z_rng, n)
         params = state.g_ema_params if use_ema else state.g_params

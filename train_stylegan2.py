@@ -57,6 +57,10 @@ def parse_args():
     p.add_argument("--no_fid", action="store_true")
     p.add_argument("--no_gif", action="store_true")
     p.add_argument("--n_eval_avg", default=3, type=int)
+    p.add_argument("--fid_embed", default="inception",
+                   choices=["inception", "moments"],
+                   help="FID embedder: inception (needs weights) or the "
+                        "weights-free debug 'moments' embedder")
     p.add_argument("--print_every", default=50, type=int)
     p.add_argument("--evaluate_every", default=2000, type=int)
     p.add_argument("--save_every", default=100000, type=int)
@@ -203,7 +207,8 @@ def main():
         try:
             from contrad_tpu.evaluate.fid import FIDScore
 
-            fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg)
+            fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg,
+                           embedder=P.fid_embed)
         except Exception as e:
             logger.log(f"FID disabled: {e}")
 
@@ -242,7 +247,8 @@ def main():
             logger.log_dirname(f"Steps {step + 1}")
             if fid is not None:
                 fid_avg = fid.update(step, lambda n, r: np.asarray(
-                    jax.device_get(trainer.sample_fn(state, n, True, False))))
+                    jax.device_get(trainer.sample_fn(state, n, True, False,
+                                                     jnp.asarray(r)))))
                 fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
                 logger.scalar_summary("gan/test/fid", fid_avg, step)
                 logger.scalar_summary("gan/test/fid/best", fid.best, step)
