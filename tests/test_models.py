@@ -138,3 +138,16 @@ def test_snresnet18(rng):
 def test_registry_snresnet18():
     g, d = get_architecture("snresnet18", (32, 32, 3))
     assert d.d_hidden == 1024 and d.mlp_linear
+
+
+def test_conditional_heads(rng):
+    """n_classes > 1: label-conditional GAN score via the embedding inner
+    product (reference base.py:30-35,48-53)."""
+    d = DSndcgan(IMG, ndf=8, n_classes=5, mlp_linear=True, d_hidden=32)
+    x = jax.random.uniform(rng, (4,) + IMG)
+    y = jnp.asarray([0, 1, 2, 3])
+    variables = d.init(rng, x, y=y, train=True)
+    (score_y, _), _ = d.apply(variables, x, y=y, train=True, mutable=["spectral"])
+    (score_none, _), _ = d.apply(variables, x, train=True, mutable=["spectral"])
+    assert score_y.shape == (4, 1)
+    assert not np.allclose(np.asarray(score_y), np.asarray(score_none))
