@@ -108,9 +108,10 @@ def main():
         return probe, opt_state, loss, logits
 
     @jax.jit
-    def eval_logits(images):
+    def eval_logits(images, probe):
+        # probe passed explicitly: a closure would be baked at first trace
         x = images.astype(jnp.float32) / 255.0
-        return features(x) @ probe_ref["w"] + probe_ref["b"]
+        return features(x) @ probe["w"] + probe["b"]
 
     seed_tag = int(np.random.randint(10000))
     csv_path = os.path.join(P.logdir, f"lin_eval_{seed_tag}.csv")
@@ -121,7 +122,6 @@ def main():
     steps_per_epoch = len(train_set) // P.batch_size
     loader = BatchIterator(train_set, P.batch_size, seed=P.seed)
 
-    probe_ref = probe
     for epoch in range(P.epochs):
         t0 = time.time()
         lr = lr_at(epoch)
@@ -137,13 +137,12 @@ def main():
             tr_acc += acc1 * len(labels)
             n_seen += len(labels)
 
-        probe_ref = probe
         test_iter = (
             (test_set.images[i : i + P.batch_size],
              test_set.labels[i : i + P.batch_size])
             for i in range(0, len(test_set), P.batch_size))
         out = test_classifier(lambda x: np.asarray(
-            eval_logits(jnp.asarray(x))), test_iter, ["loss", "error@1"])
+            eval_logits(jnp.asarray(x), probe)), test_iter, ["loss", "error@1"])
 
         dt = time.time() - t0
         row = (f"{epoch},{dt:.8},{lr:.4},{tr_loss / n_seen:.4},"
