@@ -109,3 +109,50 @@ class PrefetchIterator:
 
     def close(self):
         self._stop = True
+
+
+class DeviceBatchIterator:
+    """Device-resident dataset: the whole uint8 array is staged to HBM once;
+    each step gathers the batch ON DEVICE from a host-sent index vector
+    (~4 KB/step instead of megabytes of pixels). Eliminates the host->device
+    image stream entirely — the TPU-native answer to DataLoader workers for
+    datasets that fit in HBM (CIFAR: 150 MB).
+
+    Epoch semantics identical to BatchIterator (seeded reshuffle, drop-last).
+    """
+
+    # stage datasets up to this size; larger ones stream via BatchIterator
+    MAX_BYTES = 768 * 1024 * 1024
+
+    def __init__(self, dataset: ArrayDataset, batch_size: int, mesh,
+                 seed: int = 0, start_epoch: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from contrad_tpu.parallel.mesh import batch_sharding, replicated
+
+        if dataset.images.nbytes > self.MAX_BYTES:
+            raise ValueError(
+                f"dataset too large for device residency "
+                f"({dataset.images.nbytes >> 20} MB); use BatchIterator")
+        self._indices = BatchIterator(dataset, batch_size, seed, start_epoch)
+        self._labels = dataset.labels
+        self._images = jax.device_put(np.asarray(dataset.images),
+                                      replicated(mesh))
+        self._gather = jax.jit(
+            lambda data, idx: jnp.take(data, idx, axis=0),
+            out_shardings=batch_sharding(mesh))
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        # reuse BatchIterator's epoch bookkeeping but only take the indices
+        it = self._indices
+        if it._order is None or it._pos + it.batch_size > len(it._order):
+            if it._order is not None:
+                it.epoch += 1
+            it._reshuffle()
+        idx = it._order[it._pos : it._pos + it.batch_size]
+        it._pos += it.batch_size
+        return self._gather(self._images, idx), self._labels[idx]

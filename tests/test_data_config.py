@@ -91,3 +91,26 @@ def test_all_experiment_configs_parse():
         cfg = load_config(default_config_files(path, REPO))
         finalize_options(cfg)
         assert cfg.options.batch_size > 0, path
+
+
+def test_device_batch_iterator(devices):
+    import jax
+
+    from contrad_tpu.data.core import DeviceBatchIterator
+    from contrad_tpu.parallel.mesh import get_mesh
+
+    ds = ArrayDataset(
+        np.arange(16 * 4 * 4 * 3, dtype=np.uint8).reshape(16, 4, 4, 3) % 251,
+        np.arange(16))
+    mesh = get_mesh(devices)
+    it = DeviceBatchIterator(ds, batch_size=8, mesh=mesh, seed=3)
+    imgs, labels = next(it)
+    assert imgs.shape == (8, 4, 4, 3)
+    # device gather must equal host gather for the same epoch order
+    ref = BatchIterator(ds, batch_size=8, seed=3)
+    ref_imgs, ref_labels = next(ref)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(imgs)), ref_imgs)
+    np.testing.assert_array_equal(labels, ref_labels)
+    # second batch completes the epoch without repeats
+    _, labels2 = next(it)
+    assert set(labels.tolist()) | set(labels2.tolist()) == set(range(16))

@@ -95,7 +95,7 @@ def main():
     from contrad_tpu.augment import get_augment
     from contrad_tpu.config import default_config_files, finalize_options, load_config
     from contrad_tpu.data import BatchIterator, get_dataset
-    from contrad_tpu.data.core import PrefetchIterator
+    from contrad_tpu.data.core import DeviceBatchIterator, PrefetchIterator
     from contrad_tpu.evaluate import FixedSampleGeneration, ImageGrid, to_uint8
     from contrad_tpu.models import get_architecture
     from contrad_tpu.parallel import get_mesh
@@ -167,9 +167,14 @@ def main():
     logger.log(str(opt.to_dict()))
     logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
 
-    loader = PrefetchIterator(
-        BatchIterator(train_set, opt.batch_size * opt.n_critic, seed=P.seed),
-        place_fn=trainer.place_batch)
+    if train_set.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
+        # whole dataset staged to HBM; only index vectors cross the host link
+        loader = DeviceBatchIterator(train_set, opt.batch_size * opt.n_critic,
+                                     mesh, seed=P.seed)
+    else:
+        loader = PrefetchIterator(
+            BatchIterator(train_set, opt.batch_size * opt.n_critic, seed=P.seed),
+            place_fn=trainer.place_batch)
 
     # Evaluation helpers
     eval_seed = int(np.random.randint(10000))
