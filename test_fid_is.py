@@ -30,11 +30,18 @@ def parse_args():
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--no_is", action="store_true", help="Skip Inception Score")
     p.add_argument("--out", type=str, default=None, help="CSV output path")
+    p.add_argument("--embed", default="inception", choices=["inception", "moments"],
+                   help="embedder; 'moments' is the weights-free debug option")
+    p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     return p.parse_args()
 
 
 def main():
     P = parse_args()
+    import jax
+
+    if P.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     from contrad_tpu.data.folder import _list_images
     from contrad_tpu.evaluate.fid import (
         calculate_frechet_distance,
@@ -42,7 +49,6 @@ def main():
         precompute_stats,
         stats_path,
     )
-    from contrad_tpu.evaluate.inception import get_inception_embed_fn
     from contrad_tpu.evaluate.inception_score import inception_score
     from contrad_tpu.utils.logger import append_csv
     from PIL import Image
@@ -59,7 +65,9 @@ def main():
     for i, f in enumerate(files):
         images[i] = np.asarray(Image.open(f).convert("RGB"), dtype=np.uint8)
 
-    embed_fn = get_inception_embed_fn(batch_size=P.batch_size)
+    from contrad_tpu.evaluate.fid import get_embed_fn
+
+    embed_fn = get_embed_fn(P.embed)
 
     if P.stats:
         stats = np.load(P.stats)
