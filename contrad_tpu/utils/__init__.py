@@ -5,6 +5,7 @@ from contrad_tpu.utils.checkpoint import (
     has_checkpoint,
     restore_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 
 __all__ = [
@@ -13,4 +14,5 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "has_checkpoint",
+    "wait_for_checkpoints",
 ]

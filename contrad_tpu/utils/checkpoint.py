@@ -20,16 +20,38 @@ import orbax.checkpoint as ocp
 
 from contrad_tpu.training.state import GANTrainState
 
+_ckptr: Optional[ocp.StandardCheckpointer] = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _ckptr
+    if _ckptr is None:
+        _ckptr = ocp.StandardCheckpointer()
+    return _ckptr
+
 
 def _ckpt_dir(logdir: str) -> str:
     return os.path.join(os.path.abspath(logdir), "ckpt")
 
 
-def save_checkpoint(logdir: str, state: GANTrainState, name: str = "latest"):
+def save_checkpoint(logdir: str, state: GANTrainState, name: str = "latest",
+                    blocking: bool = False):
+    """Async by default: orbax snapshots the arrays and writes in the
+    background so the train loop keeps stepping (the reference's torch.save
+    blocks the loop for the full serialization). The previous async save is
+    awaited first, so at most one write is in flight."""
     path = os.path.join(_ckpt_dir(logdir), name)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()  # at most one in-flight write
     ckptr.save(path, state, force=True)
-    ckptr.wait_until_finished()
+    if blocking:
+        ckptr.wait_until_finished()
+
+
+def wait_for_checkpoints():
+    """Block until any in-flight async save completes (call before reading a
+    just-written checkpoint or at shutdown)."""
+    _checkpointer().wait_until_finished()
 
 
 def restore_checkpoint(
@@ -38,12 +60,14 @@ def restore_checkpoint(
     """Restore into the sharding/structure of ``template`` (a freshly
     initialized state)."""
     path = os.path.join(_ckpt_dir(logdir), name)
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
+    ckptr.wait_until_finished()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, template)
     return ckptr.restore(path, abstract)
 
 
 def has_checkpoint(logdir: str, name: str = "latest") -> bool:
+    wait_for_checkpoints()  # async saves finalize by renaming into place
     return os.path.isdir(os.path.join(_ckpt_dir(logdir), name))
 
 

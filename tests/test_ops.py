@@ -158,3 +158,45 @@ def test_axis_aligned_matches_general(mode, padding, np_rng):
                                  padding_mode=padding)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_sn_matches_torch_semantics(np_rng):
+    """Step-by-step parity with torch.nn.utils.spectral_norm: same W and u,
+    same per-forward power-iteration update and normalized weight."""
+    import torch.nn as tnn
+    from torch.nn.utils import spectral_norm as torch_sn
+
+    in_dim, out_dim = 12, 8
+    w = np_rng.normal(size=(out_dim, in_dim)).astype(np.float32)
+
+    lin = tnn.Linear(in_dim, out_dim, bias=False)
+    with torch.no_grad():
+        lin.weight.copy_(torch.from_numpy(w))
+    lin = torch_sn(lin)
+    # align the initial u. NOTE .copy(): jnp.asarray zero-copies aligned numpy
+    # on CPU, and torch updates weight_u IN PLACE each forward — without the
+    # copy our u would silently alias torch's.
+    u0 = np.asarray(lin.weight_u.detach()).copy()
+
+    layer = SNDense(out_dim, use_bias=False)
+    x = jnp.asarray(np_rng.normal(size=(3, in_dim)).astype(np.float32))
+    variables = layer.init(jax.random.PRNGKey(0), x, train=True)
+    variables = {
+        "params": {"kernel": jnp.asarray(w.T)},
+        "spectral": {"u": jnp.asarray(u0)},
+    }
+
+    state = {"spectral": variables["spectral"]}
+    lin.train()
+    for step in range(4):
+        with torch.no_grad():
+            y_t = lin(torch.from_numpy(np.asarray(x)))
+        y_j, mut = layer.apply({"params": variables["params"], **state}, x,
+                               train=True, mutable=["spectral"])
+        np.testing.assert_allclose(np.asarray(y_j), y_t.numpy(),
+                                   rtol=2e-4, atol=1e-5,
+                                   err_msg=f"mismatch at power-iter step {step}")
+        state = mut
+        np.testing.assert_allclose(np.asarray(state["spectral"]["u"]),
+                                   np.asarray(lin.weight_u.detach()),
+                                   rtol=2e-4, atol=1e-5)

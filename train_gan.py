@@ -250,6 +250,9 @@ def main():
             if step % P.save_every == 0:
                 save_checkpoint(logger.logdir, state, f"step_{step}")
 
+    from contrad_tpu.utils import wait_for_checkpoints
+
+    wait_for_checkpoints()
     logger.log("Training finished.")
     logger.close()
 
