@@ -18,7 +18,6 @@ from __future__ import annotations
 from typing import Callable, Mapping, Optional
 
 import jax
-import jax.numpy as jnp
 
 from contrad_tpu.augment.color import (
     color_jitter,

@@ -22,7 +22,7 @@ lax.cond with a double-backward in the common path.
 from __future__ import annotations
 
 import functools
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
