@@ -96,7 +96,15 @@ class PrefetchIterator:
         def worker():
             while not self._stop:
                 images, labels = next(self._it)
-                self._q.put((self._place(images), labels))
+                payload = (self._place(images), labels)
+                # Timed put so a worker blocked on a full queue re-checks
+                # _stop and can actually exit on close().
+                while not self._stop:
+                    try:
+                        self._q.put(payload, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
@@ -107,8 +115,16 @@ class PrefetchIterator:
     def __next__(self):
         return self._q.get()
 
-    def close(self):
+    def close(self, timeout: float = 2.0):
+        """Stop the worker thread (releases its hold on the wrapped iterator)."""
         self._stop = True
+        # Drain so a put-blocked worker wakes up and observes _stop.
+        try:
+            while True:
+                self._q.get_nowait()
+        except Exception:
+            pass
+        self._thread.join(timeout=timeout)
 
 
 class DeviceBatchIterator:

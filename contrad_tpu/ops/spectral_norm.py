@@ -51,7 +51,14 @@ def spectral_normalize(
     out_dim = w2d.shape[0]
 
     def _init_u() -> jax.Array:
-        u0 = jax.random.normal(jax.random.PRNGKey(0), (out_dim,), dtype=jnp.float32)
+        # Per-layer u0: make_rng('params') folds the module path into the init
+        # key, so same-shaped layers start power iteration from distinct
+        # vectors (torch draws a fresh N(0,1) u per wrapped module).
+        if module.has_rng("params"):
+            key = module.make_rng("params")
+        else:  # applied without an rng stream (e.g. manual re-init)
+            key = jax.random.PRNGKey(0)
+        u0 = jax.random.normal(key, (out_dim,), dtype=jnp.float32)
         return _l2_normalize(u0)
 
     u_var = module.variable("spectral", name, _init_u)

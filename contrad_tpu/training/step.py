@@ -105,6 +105,7 @@ class GANTrainer:
         ema: bool = False,
         mesh=None,
         g_kwargs: Optional[dict] = None,
+        real_aug_fn: Optional[Callable] = None,
     ):
         self.generator = generator
         self.discriminator = discriminator
@@ -114,6 +115,10 @@ class GANTrainer:
         self.ema = ema
         self.mesh = mesh if mesh is not None else get_mesh()
         self.g_kwargs = g_kwargs or {}  # e.g. {'style_mix': 0.9} for StyleGAN2
+        # Dataset-baked real augmentation (reference datasets.py:49-69,83-126
+        # bakes RandomHorizontalFlip into cifar*_hflip / AFHQ transforms);
+        # applied to reals before the mode's augment chain sees them.
+        self.real_aug_fn = real_aug_fn
 
         self.g_apply = make_g_apply(generator)
         self.d_apply = make_d_apply(discriminator)
@@ -183,10 +188,13 @@ class GANTrainer:
     def _step(self, state: GANTrainState, images: jax.Array, ema_decay=0.0):
         """images: (n_critic * B, H, W, C), uint8 or float in [0,1]."""
         images = _to_float(images)
+        rng = state.rng
+        if self.real_aug_fn is not None:
+            rng, ra_rng = jax.random.split(rng)
+            images = self.real_aug_fn(ra_rng, images)
         nb = images.shape[0] // self.n_critic
         images = images.reshape((self.n_critic, nb) + images.shape[1:])
 
-        rng = state.rng
         carry = (state.d_params, state.d_state, state.d_opt_state, state.g_state, rng)
         d_substep = functools.partial(self._d_substep, state.g_params)
         (d_params, d_state, d_opt_state, g_state, rng), metrics_seq = jax.lax.scan(
@@ -286,6 +294,10 @@ class StyleGAN2Trainer(GANTrainer):
     def _sg2_step(self, state: GANTrainState, images: jax.Array,
                   ema_decay, do_r1: bool):
         images = _to_float(images)
+        rng = state.rng
+        if self.real_aug_fn is not None:
+            rng, ra_rng = jax.random.split(rng)
+            images = self.real_aug_fn(ra_rng, images)
         nb = images.shape[0] // self.n_critic
         images = images.reshape((self.n_critic, nb) + images.shape[1:])
 
@@ -296,7 +308,6 @@ class StyleGAN2Trainer(GANTrainer):
         else:
             g_ema_params, g_ema_state = state.g_ema_params, state.g_ema_state
 
-        rng = state.rng
         rng, z_rng, noise_rng, g_loss_rng = jax.random.split(rng, 4)
 
         # 2. G phase first (reference :184-194); keep its fakes.
@@ -331,8 +342,12 @@ class StyleGAN2Trainer(GANTrainer):
         if self.n_critic > 1:
             carry = (d_params, d_state, d_opt_state, g_state, rng)
             d_substep = functools.partial(self._d_substep, g_params)
-            (d_params, d_state, d_opt_state, g_state, rng), _ = jax.lax.scan(
-                d_substep, carry, images[1:])
+            (d_params, d_state, d_opt_state, g_state, rng), metrics_seq = (
+                jax.lax.scan(d_substep, carry, images[1:]))
+            # Reference logs the LAST critic iteration's losses
+            # (train_gan.py:184-190); keep D_r1 from the regularized pass.
+            metrics = dict(jax.tree.map(lambda m: m[-1], metrics_seq),
+                           D_r1=metrics["D_r1"])
 
         metrics["G_loss"] = g_loss
         rng, next_rng = jax.random.split(rng)

@@ -114,3 +114,29 @@ def test_device_batch_iterator(devices):
     # second batch completes the epoch without repeats
     _, labels2 = next(it)
     assert set(labels.tolist()) | set(labels2.tolist()) == set(range(16))
+
+
+def test_prefetch_iterator_close_stops_worker():
+    """close() must actually stop a put-blocked worker: the wrapped iterator
+    stops being consumed and the thread exits (no leak for second iterators
+    in-process)."""
+    import itertools
+    import time
+
+    from contrad_tpu.data.core import PrefetchIterator
+
+    consumed = itertools.count()
+
+    class Src:
+        def __next__(self):
+            return np.full((2, 4, 4, 3), next(consumed) % 251, np.uint8), \
+                np.zeros((2,), np.int64)
+
+    it = PrefetchIterator(Src(), depth=1)
+    next(it)
+    time.sleep(0.3)  # let the worker fill the queue and block on put
+    it.close()
+    assert not it._thread.is_alive(), "worker thread still running after close()"
+    n_after_close = next(consumed)
+    time.sleep(0.3)
+    assert next(consumed) == n_after_close + 1, "iterator still consumed after close()"

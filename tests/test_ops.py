@@ -200,3 +200,23 @@ def test_sn_matches_torch_semantics(np_rng):
         np.testing.assert_allclose(np.asarray(state["spectral"]["u"]),
                                    np.asarray(lin.weight_u.detach()),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_sn_u_init_distinct_across_layers(rng, np_rng):
+    """Same-shaped SN layers must start power iteration from distinct u0
+    (module-path-folded rng, not a shared PRNGKey(0))."""
+    import flax.linen as nn
+
+    class TwoDense(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=True):
+            a = SNDense(8, use_bias=False)(x, train=train)
+            b = SNDense(8, use_bias=False)(x, train=train)
+            return a + b
+
+    m = TwoDense()
+    x = jnp.asarray(np_rng.normal(size=(2, 16)).astype(np.float32))
+    variables = m.init(rng, x, train=True)
+    us = [np.asarray(v["u"]) for v in variables["spectral"].values()]
+    assert len(us) == 2
+    assert not np.allclose(us[0], us[1])

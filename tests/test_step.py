@@ -17,7 +17,8 @@ BATCH = 8
 
 
 def _make_trainer(mode="contrad", penalty="none", aug="hflip", n_critic=1,
-                  loss_type="nonsat", devices=None, ema=False):
+                  loss_type="nonsat", devices=None, ema=False,
+                  real_aug_fn=None):
     g = GSndcgan(image_size=IMG, ngf=8, nz=16)
     d = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True, d_hidden=32)
     g_opt = make_optimizer(2e-4, (0.5, 0.999))
@@ -29,6 +30,7 @@ def _make_trainer(mode="contrad", penalty="none", aug="hflip", n_critic=1,
         loss_type=loss_type, penalty=penalty, temp=0.1, lbd_a=1.0,
         n_critic=n_critic, ema=ema,
         mesh=get_mesh(devices),
+        real_aug_fn=real_aug_fn,
     )
     state = create_train_state(
         jax.random.PRNGKey(0), g, d, IMG, g_opt, d_opt, ema=ema)
@@ -72,6 +74,41 @@ def test_n_critic_consumes_batches(devices):
     new_state, metrics = trainer.train_step(state, images)
     assert int(new_state.step) == 1
     assert np.isfinite(float(metrics["D_loss"]))
+
+
+def test_real_aug_fn_transforms_reals(devices):
+    """Dataset-baked augmentation (train_aug='hflip', reference
+    datasets.py:49-69,83-126) must hit the reals before the loss path: a
+    deterministic-flip real_aug_fn on batch X is step-for-step identical to
+    no real_aug_fn on a pre-flipped X (with the rng advanced the same way)."""
+    flip = lambda rng, x: jnp.flip(x, axis=2)
+    batch = _batch()
+
+    trainer_a, state_a = _make_trainer(mode="contrad", aug="simclr",
+                                       real_aug_fn=flip)
+    state_a = trainer_a.place_state(state_a)
+    new_a, metrics_a = trainer_a.train_step(state_a, trainer_a.place_batch(batch))
+
+    trainer_b, state_b = _make_trainer(mode="contrad", aug="simclr")
+    # consume the same split the real_aug path takes from state.rng
+    state_b = state_b.replace(rng=jax.random.split(state_b.rng)[0])
+    state_b = trainer_b.place_state(state_b)
+    new_b, metrics_b = trainer_b.train_step(
+        state_b, trainer_b.place_batch(jnp.flip(batch, axis=2)))
+
+    for k in metrics_a:
+        np.testing.assert_allclose(float(metrics_a[k]), float(metrics_b[k]),
+                                   rtol=1e-5, atol=1e-6, err_msg=k)
+    for a, b in zip(jax.tree.leaves(jax.device_get(new_a.d_params)),
+                    jax.tree.leaves(jax.device_get(new_b.d_params))):
+        np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+    # and with the identity real_aug, results differ (the flip is real)
+    trainer_c, state_c = _make_trainer(mode="contrad", aug="simclr",
+                                       real_aug_fn=lambda rng, x: x)
+    state_c = trainer_c.place_state(state_c)
+    _, metrics_c = trainer_c.train_step(state_c, trainer_c.place_batch(batch))
+    assert float(metrics_c["D_loss"]) != float(metrics_a["D_loss"])
 
 
 def test_params_and_spectral_state_advance(devices):

@@ -124,11 +124,16 @@ def main():
                                  use_warmup=P.use_warmup)
 
     augment_fn = get_augment(P.aug, cfg.get("augment"))
+    # Dataset-baked flip (reference datasets.py:49-69,83-126 bakes
+    # RandomHorizontalFlip into cifar*_hflip and AFHQ train transforms).
+    real_aug_fn = (get_augment("hflip")
+                   if train_set.train_aug == "hflip" else None)
     trainer = GANTrainer(
         generator, discriminator, mode=P.mode, augment_fn=augment_fn,
         g_optimizer=g_optimizer, d_optimizer=d_optimizer,
         loss_type=opt.loss, penalty=P.penalty, temp=P.temp, lbd_a=P.lbd_a,
-        lbd=opt.lbd, lbd2=opt.lbd2, n_critic=opt.n_critic, mesh=mesh)
+        lbd=opt.lbd, lbd2=opt.lbd2, n_critic=opt.n_critic, mesh=mesh,
+        real_aug_fn=real_aug_fn)
 
     rng = jax.random.PRNGKey(P.seed)
     state = create_train_state(rng, generator, discriminator, image_size,
@@ -204,7 +209,7 @@ def main():
     for step in range(starting_step, opt.max_steps + 1):
         batch, _ = next(loader)  # prefetched + already on device
         state, metrics = trainer.train_step(state, batch)
-        imgs_seen += opt.batch_size
+        imgs_seen += opt.batch_size * opt.n_critic  # a step consumes n_critic batches
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:
             jax.block_until_ready(state.g_params)

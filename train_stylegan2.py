@@ -145,13 +145,17 @@ def main():
                                  use_warmup=P.use_warmup, lr_decay_fn=lr_decay_fn)
 
     augment_fn = get_augment(P.aug, cfg.get("augment"))
+    # Dataset-baked flip (reference datasets.py:49-69,83-126 bakes
+    # RandomHorizontalFlip into cifar*_hflip and AFHQ train transforms).
+    real_aug_fn = (get_augment("hflip")
+                   if train_set.train_aug == "hflip" else None)
     trainer = StyleGAN2Trainer(
         generator, discriminator, mode=P.mode, augment_fn=augment_fn,
         g_optimizer=g_optimizer, d_optimizer=d_optimizer,
         loss_type=opt.loss, penalty=P.penalty, temp=P.temp, lbd_a=P.lbd_a,
         lbd=opt.lbd, lbd2=opt.lbd2, n_critic=opt.n_critic,
         lbd_r1=P.lbd_r1, d_reg_every=P.d_reg_every, style_mix=P.style_mix,
-        ema=True, mesh=mesh)
+        ema=True, mesh=mesh, real_aug_fn=real_aug_fn)
 
     state = create_train_state(jax.random.PRNGKey(P.seed), generator,
                                discriminator, image_size, g_optimizer,
@@ -230,7 +234,7 @@ def main():
         batch, _ = next(loader)  # prefetched + already on device
         state, metrics = trainer.train_step(state, batch, ema_decay=ema_decay,
                                             do_r1=do_r1)
-        imgs_seen += opt.batch_size
+        imgs_seen += opt.batch_size * opt.n_critic  # a step consumes n_critic batches
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:
             jax.block_until_ready(state.g_params)
