@@ -46,16 +46,31 @@ class BatchIterator:
     recompiling)."""
 
     def __init__(self, dataset: ArrayDataset, batch_size: int, seed: int = 0,
-                 start_epoch: int = 0):
+                 start_epoch: int = 0,
+                 shard: Optional[Tuple[int, int]] = None):
         if batch_size > len(dataset):
             raise ValueError(
                 f"batch_size {batch_size} exceeds dataset size {len(dataset)}")
         self.dataset = dataset
-        self.batch_size = batch_size
+        self.batch_size = batch_size  # the GLOBAL batch size
         self.seed = seed
         self.epoch = start_epoch
         self._order = None
         self._pos = 0
+        # (rank, world): every process draws the identical global permutation
+        # (same seed) and keeps only its contiguous slice of each global batch
+        # — the multi-host equivalent of DistributedSampler(rank, world_size)
+        # (reference train_gan.py:245-251). The slice is contiguous because on
+        # the 1-D data mesh process p's devices own global rows
+        # [p*B/world, (p+1)*B/world).
+        self.shard = shard
+        if shard is not None:
+            rank, world = shard
+            if batch_size % world:
+                raise ValueError(
+                    f"global batch {batch_size} must divide process count {world}")
+            if not 0 <= rank < world:
+                raise ValueError(f"bad shard {shard}")
 
     def _reshuffle(self):
         rng = np.random.default_rng((self.seed, self.epoch))
@@ -72,6 +87,10 @@ class BatchIterator:
             self._reshuffle()
         idx = self._order[self._pos : self._pos + self.batch_size]
         self._pos += self.batch_size
+        if self.shard is not None:
+            rank, world = self.shard
+            per = self.batch_size // world
+            idx = idx[rank * per : (rank + 1) * per]
         # Native multithreaded gather (contrad_tpu/data/native): matters for
         # memmapped high-res folders (~50 MB/batch at 512^2).
         from contrad_tpu.data import native

@@ -22,10 +22,12 @@ from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
 
 
 def get_architecture(
-    architecture: str, image_size: Tuple[int, int, int], dtype=None
+    architecture: str, image_size: Tuple[int, int, int], dtype=None,
+    n_classes: int = 1,
 ) -> Tuple[nn.Module, Discriminator]:
     """dtype: compute dtype for the conv stacks (e.g. jnp.bfloat16); params,
-    heads and losses always stay float32."""
+    heads and losses always stay float32. ``n_classes > 1`` adds the
+    projection-discrimination y-head (SNEmbed; reference base.py:107-130)."""
     import jax.numpy as jnp
 
     dtype = dtype or jnp.float32
@@ -34,12 +36,13 @@ def get_architecture(
     if architecture == "sndcgan":
         generator = GSndcgan(image_size=image_size, dtype=dtype)
         discriminator = DSndcgan(image_size=image_size, mlp_linear=True,
-                                 d_hidden=512, dtype=dtype)
+                                 d_hidden=512, dtype=dtype, n_classes=n_classes)
     elif architecture == "snresnet18":
         from contrad_tpu.models.snresnet import DSnresnet18
 
         generator = GSndcgan(image_size=image_size, dtype=dtype)
-        discriminator = DSnresnet18(mlp_linear=True, d_hidden=1024, dtype=dtype)
+        discriminator = DSnresnet18(mlp_linear=True, d_hidden=1024, dtype=dtype,
+                                    n_classes=n_classes)
     elif architecture == "stylegan2":
         from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2
 
@@ -48,7 +51,7 @@ def get_architecture(
                                dtype=dtype)
         discriminator = DStylegan2(
             size=resolution, small32=True, mlp_linear=True, d_hidden=512,
-            dtype=dtype
+            dtype=dtype, n_classes=n_classes
         )
     elif architecture == "stylegan2_512":
         from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2
@@ -58,7 +61,7 @@ def get_architecture(
                                dtype=dtype)
         discriminator = DStylegan2(
             size=resolution, channel_multiplier=1.0, mlp_linear=True,
-            d_hidden=512, dtype=dtype
+            d_hidden=512, dtype=dtype, n_classes=n_classes
         )
     else:
         raise NotImplementedError(f"unknown architecture: {architecture}")

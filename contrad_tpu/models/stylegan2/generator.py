@@ -59,6 +59,7 @@ class ModulatedConv(nn.Module):
     upsample: bool = False
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     eps: float = 1e-8
+    fuse_blur: bool = True  # fold the post-upsample blur into the conv
 
     @nn.compact
     def __call__(self, x, style):
@@ -79,7 +80,27 @@ class ModulatedConv(nn.Module):
             demod = jax.lax.rsqrt(jnp.matmul(s**2, w_sq) + self.eps)  # (N, out)
             demod = demod.astype(x.dtype)
 
-        if self.upsample:
+        if self.upsample and self.fuse_blur:
+            # conv_transpose(VALID, s=2) + blur(pad) == ONE lhs-dilated conv
+            # with the blur folded into the kernel (see compose_blur_kernel):
+            # composed padding = (k-1) + blur_pad per side. Removes the
+            # bandwidth-bound depthwise blur over the 2x-res activation.
+            from contrad_tpu.ops.upfirdn2d import compose_blur_kernel
+
+            factor = 2
+            p = (len(self.blur_kernel) - factor) - (k - 1)
+            pb = ((p + 1) // 2 + factor - 1, p // 2 + 1)
+            kc = compose_blur_kernel(
+                make_kernel(self.blur_kernel) * factor**2, w)
+            y = jax.lax.conv_general_dilated(
+                xm, kc, (1, 1),
+                padding=((k - 1 + pb[0], k - 1 + pb[1]),
+                         (k - 1 + pb[0], k - 1 + pb[1])),
+                lhs_dilation=(factor, factor),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            if self.demodulate:
+                y = y * demod[:, None, None, :]
+        elif self.upsample:
             y = jax.lax.conv_transpose(
                 xm, w, strides=(2, 2), padding="VALID",
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -14,7 +14,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from contrad_tpu.ops.fused_act import FusedLeakyReLU, fused_leaky_relu
-from contrad_tpu.ops.upfirdn2d import blur2d, downsample2d, make_kernel, upsample2d
+from contrad_tpu.ops.upfirdn2d import (
+    blur2d, compose_blur_kernel, downsample2d, make_kernel, upsample2d)
 
 
 class PixelNorm(nn.Module):
@@ -52,13 +53,20 @@ class EqualDense(nn.Module):
 
 class EqualConv(nn.Module):
     """EqualConv2d (reference layers.py:95-129): weight ~ N(0,1), runtime
-    scale 1/sqrt(fan_in)."""
+    scale 1/sqrt(fan_in).
+
+    ``pre_blur``: fold a preceding Blur (ConvLayer's downsample pattern,
+    reference layers.py:174-193) into this conv via kernel composition — same
+    math, one dense MXU conv instead of depthwise-blur + conv. Padding then
+    follows the Blur's arithmetic: p = (kb - 2) + (k - 1), pad (ceil, floor).
+    """
 
     features: int
     kernel_size: int
     stride: int = 1
     padding: int = 0
     use_bias: bool = True
+    pre_blur: Tuple[float, ...] = ()
 
     @nn.compact
     def __call__(self, x):
@@ -67,10 +75,18 @@ class EqualConv(nn.Module):
         weight = self.param("weight", nn.initializers.normal(stddev=1.0),
                             (k, k, in_ch, self.features))
         scale = 1.0 / math.sqrt(in_ch * k * k)
+        w = (weight * scale).astype(x.dtype)
+        if self.pre_blur:
+            blur = make_kernel(self.pre_blur)
+            p = (blur.shape[0] - 2) + (k - 1)
+            pad = ((p + 1) // 2, p // 2)
+            w = compose_blur_kernel(blur, w)
+        else:
+            pad = (self.padding, self.padding)
         y = jax.lax.conv_general_dilated(
-            x, (weight * scale).astype(x.dtype),
+            x, w,
             window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            padding=(pad, pad),
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
@@ -120,18 +136,25 @@ class ConvLayer(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     downsample: bool = False
     activate: bool = True
+    fuse_blur: bool = True  # fold the anti-alias blur into the strided conv
 
     @nn.compact
     def __call__(self, x):
-        if self.downsample:
-            factor = 2
-            p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
-            x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2), name="blur")(x)
-            stride, padding = 2, 0
+        if self.downsample and self.fuse_blur:
+            x = EqualConv(self.features, self.kernel_size, stride=2,
+                          pre_blur=tuple(self.blur_kernel), use_bias=False,
+                          name="conv")(x)
         else:
-            stride, padding = 1, self.kernel_size // 2
-        x = EqualConv(self.features, self.kernel_size, stride=stride,
-                      padding=padding, use_bias=False, name="conv")(x)
+            if self.downsample:
+                factor = 2
+                p = (len(self.blur_kernel) - factor) + (self.kernel_size - 1)
+                x = Blur(self.blur_kernel, pad=((p + 1) // 2, p // 2),
+                         name="blur")(x)
+                stride, padding = 2, 0
+            else:
+                stride, padding = 1, self.kernel_size // 2
+            x = EqualConv(self.features, self.kernel_size, stride=stride,
+                          padding=padding, use_bias=False, name="conv")(x)
         if self.activate:
             x = FusedLeakyReLU(self.features, name="act")(x)
         return x

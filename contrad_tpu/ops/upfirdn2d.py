@@ -102,6 +102,34 @@ def _separate(kernel):
     return col.astype(np.float32), row.astype(np.float32)
 
 
+def compose_blur_kernel(blur: np.ndarray, w: jax.Array) -> jax.Array:
+    """Fold a FIR blur into an adjacent conv: K[u,v,i,o] = sum_{s,t}
+    blur[s,t] * w[u-s,v-t,i,o] (full 2-D convolution along the spatial dims).
+
+    conv_s(blur(x), W) == conv_s(x, K) and blur(conv_transpose(x, W)) ==
+    lhs-dilated-conv(x, K) with adjusted padding — exact, since the blur is a
+    per-channel spatial LTI filter. On TPU this removes the bandwidth-bound
+    depthwise blur pass (a full HBM roundtrip of the high-res activation) and
+    moves its taps into the MXU conv. The reference instead runs a dedicated
+    CUDA upfirdn2d kernel back-to-back with cuDNN convs
+    (models/gan/stylegan2/op/upfirdn2d_kernel.cu).
+
+    ``blur``: (kb, kb) static numpy; ``w``: (k, k, in, out). Returns
+    (k+kb-1, k+kb-1, in, out)."""
+    kb = blur.shape[0]
+    k = w.shape[0]
+    in_ch, out_ch = w.shape[2], w.shape[3]
+    # Correlating W with the flipped blur == convolving with the blur.
+    wt = jnp.transpose(w, (2, 3, 0, 1)).reshape(in_ch * out_ch, k, k, 1)
+    bk = jnp.asarray(np.ascontiguousarray(blur[::-1, ::-1]),
+                     dtype=w.dtype)[:, :, None, None]
+    out = jax.lax.conv_general_dilated(
+        wt, bk, (1, 1), padding=((kb - 1, kb - 1), (kb - 1, kb - 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    kk = k + kb - 1
+    return jnp.transpose(out.reshape(in_ch, out_ch, kk, kk), (2, 3, 0, 1))
+
+
 # ---------------------------------------------------------------- wrappers
 # Padding arithmetic from the reference (layers.py:34-92).
 

@@ -45,3 +45,22 @@ def shard_batch(x, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def data_shard() -> tuple:
+    """(rank, world) for host-side data sharding — the TPU-native equivalent
+    of the reference's DistributedSampler(rank, world_size)
+    (``train_gan.py:245-251``). (0, 1) in single-process runs."""
+    return jax.process_index(), jax.process_count()
+
+
+def place_global_batch(local, mesh: Mesh):
+    """Assemble the global batch-sharded array from this process's local rows.
+
+    Each process feeds the rows for its own addressable devices (a contiguous
+    1/process_count slice of the global batch on the 1-D data mesh);
+    ``jax.make_array_from_process_local_data`` stitches them into one global
+    jax.Array without any cross-host transfer. With a single process this is
+    equivalent to ``shard_batch``."""
+    return jax.make_array_from_process_local_data(
+        batch_sharding(mesh), np.asarray(local))

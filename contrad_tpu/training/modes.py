@@ -65,8 +65,9 @@ def _metrics(d_loss, penalty, d_real, d_gen) -> Metrics:
     }
 
 
-def _g_loss_on(ctx: ModeCtx, d_params, d_state, x, lsgan_ok: bool = True):
-    (d_gen, _), new_state = ctx.d_apply(d_params, d_state, x, train=True)
+def _g_loss_on(ctx: ModeCtx, d_params, d_state, x, lsgan_ok: bool = True,
+               y=None):
+    (d_gen, _), new_state = ctx.d_apply(d_params, d_state, x, y=y, train=True)
     loss_type = ctx.loss_type
     if not lsgan_ok and loss_type == "lsgan":
         loss_type = "wgan"  # reference aug_both G loss has no lsgan branch
@@ -75,11 +76,23 @@ def _g_loss_on(ctx: ModeCtx, d_params, d_state, x, lsgan_ok: bool = True):
 
 # ----------------------------------------------------------------- std
 
-def _std_loss_D(ctx, d_params, d_state, images, gen_images, rng):
+def _cat_y(y_real, y_gen, *parts):
+    """Concatenate label vectors for a multi-part D batch; None when
+    unconditional (each part is 'real'/'gen')."""
+    if y_real is None and y_gen is None:
+        return None
+    vecs = {"real": y_real, "gen": y_gen}
+    return jnp.concatenate([vecs[p] for p in parts], axis=0)
+
+
+def _std_loss_D(ctx, d_params, d_state, images, gen_images, rng,
+                y_real=None, y_gen=None):
     gen_images = jax.lax.stop_gradient(gen_images)
     n = images.shape[0]
     all_images = jnp.concatenate([images, gen_images], axis=0)
-    (d_all, _), new_state = ctx.d_apply(d_params, d_state, all_images, train=True)
+    (d_all, _), new_state = ctx.d_apply(
+        d_params, d_state, all_images, y=_cat_y(y_real, y_gen, "real", "gen"),
+        train=True)
     d_real, d_gen = d_all[:n], d_all[n:]
     d_loss = gan_d_loss(d_real, d_gen, ctx.loss_type)
     penalty = compute_penalty(
@@ -90,18 +103,21 @@ def _std_loss_D(ctx, d_params, d_state, images, gen_images, rng):
     return d_loss + penalty, (_metrics(d_loss, penalty, d_real, d_gen), new_state)
 
 
-def _std_loss_G(ctx, d_params, d_state, gen_images, rng):
-    return _g_loss_on(ctx, d_params, d_state, gen_images)
+def _std_loss_G(ctx, d_params, d_state, gen_images, rng, y_gen=None):
+    return _g_loss_on(ctx, d_params, d_state, gen_images, y=y_gen)
 
 
 # ----------------------------------------------------------------- aug
 
-def _aug_loss_D(ctx, d_params, d_state, images, gen_images, rng):
+def _aug_loss_D(ctx, d_params, d_state, images, gen_images, rng,
+                y_real=None, y_gen=None):
     gen_images = jax.lax.stop_gradient(gen_images)
     n = images.shape[0]
     rng_aug, rng_pen = jax.random.split(rng)
     all_images = jnp.concatenate([ctx.augment_fn(rng_aug, images), gen_images], axis=0)
-    (d_all, _), new_state = ctx.d_apply(d_params, d_state, all_images, train=True)
+    (d_all, _), new_state = ctx.d_apply(
+        d_params, d_state, all_images, y=_cat_y(y_real, y_gen, "real", "gen"),
+        train=True)
     d_real, d_gen = d_all[:n], d_all[n:]
     d_loss = gan_d_loss(d_real, d_gen, ctx.loss_type)
     penalty = compute_penalty(
@@ -114,7 +130,8 @@ def _aug_loss_D(ctx, d_params, d_state, images, gen_images, rng):
 
 # ----------------------------------------------------------------- aug_both
 
-def _aug_both_loss_D(ctx, d_params, d_state, images, gen_images, rng):
+def _aug_both_loss_D(ctx, d_params, d_state, images, gen_images, rng,
+                     y_real=None, y_gen=None):
     if ctx.loss_type == "lsgan":
         raise NotImplementedError("aug_both has no lsgan branch (reference aug_both.py)")
     gen_images = jax.lax.stop_gradient(gen_images)
@@ -122,7 +139,8 @@ def _aug_both_loss_D(ctx, d_params, d_state, images, gen_images, rng):
     rng_aug, rng_pen = jax.random.split(rng)
     all_images = jnp.concatenate([images, gen_images], axis=0)
     (d_all, _), new_state = ctx.d_apply(
-        d_params, d_state, ctx.augment_fn(rng_aug, all_images), train=True)
+        d_params, d_state, ctx.augment_fn(rng_aug, all_images),
+        y=_cat_y(y_real, y_gen, "real", "gen"), train=True)
     d_real, d_gen = d_all[:n], d_all[n:]
     d_loss = gan_d_loss(d_real, d_gen, ctx.loss_type)
     penalty = compute_penalty(
@@ -133,18 +151,21 @@ def _aug_both_loss_D(ctx, d_params, d_state, images, gen_images, rng):
     return d_loss + penalty, (_metrics(d_loss, penalty, d_real, d_gen), new_state)
 
 
-def _augmented_loss_G(ctx, d_params, d_state, gen_images, rng):
+def _augmented_loss_G(ctx, d_params, d_state, gen_images, rng, y_gen=None):
     return _g_loss_on(ctx, d_params, d_state, ctx.augment_fn(rng, gen_images),
-                      lsgan_ok=False)
+                      lsgan_ok=False, y=y_gen)
 
 
-def _augmented_loss_G_lsgan_ok(ctx, d_params, d_state, gen_images, rng):
-    return _g_loss_on(ctx, d_params, d_state, ctx.augment_fn(rng, gen_images))
+def _augmented_loss_G_lsgan_ok(ctx, d_params, d_state, gen_images, rng,
+                               y_gen=None):
+    return _g_loss_on(ctx, d_params, d_state, ctx.augment_fn(rng, gen_images),
+                      y=y_gen)
 
 
 # ----------------------------------------------------------------- simclr_only
 
-def _simclr_only_loss_D(ctx, d_params, d_state, images, gen_images, rng):
+def _simclr_only_loss_D(ctx, d_params, d_state, images, gen_images, rng,
+                        y_real=None, y_gen=None):
     real_images = jnp.concatenate([images, images], axis=0)
     (_, aux), new_state = ctx.d_apply(
         d_params, d_state, ctx.augment_fn(rng, real_images), train=True)
@@ -158,7 +179,8 @@ def _simclr_only_loss_D(ctx, d_params, d_state, images, gen_images, rng):
 
 # ----------------------------------------------------------------- contrad
 
-def _contrad_loss_D(ctx, d_params, d_state, images, gen_images, rng):
+def _contrad_loss_D(ctx, d_params, d_state, images, gen_images, rng,
+                    y_real=None, y_gen=None):
     """Reference ``contrad.py:35-70``. One D pass over augmented
     [real, real, fake] (per-sample aug randomness => two independent real
     views); the GAN head loss rides the penalty slot so the backbone gradient
@@ -167,7 +189,9 @@ def _contrad_loss_D(ctx, d_params, d_state, images, gen_images, rng):
     n = images.shape[0]
     cat_images = jnp.concatenate([images, images, gen_images], axis=0)
     (d_all, aux), new_state = ctx.d_apply(
-        d_params, d_state, ctx.augment_fn(rng, cat_images), train=True, sg_linear=True)
+        d_params, d_state, ctx.augment_fn(rng, cat_images),
+        y=_cat_y(y_real, y_gen, "real", "real", "gen"), train=True,
+        sg_linear=True)
 
     views = l2_normalize_rows(aux["projection"])
     view1, view2 = views[:n], views[n : 2 * n]

@@ -78,7 +78,12 @@ def create_train_state(
     g_params, g_state = split_variables(g_vars)
 
     dummy = jnp.zeros((init_batch, h, w, c), dtype=jnp.float32)
-    d_vars = discriminator.init(d_rng, dummy, train=True)
+    # Conditional D: init WITH labels so the y-head (linear_y SNEmbed,
+    # reference base.py:107-130) parameters exist in the tree.
+    n_classes = int(getattr(discriminator, "n_classes", 1) or 1)
+    dummy_y = (jnp.zeros((init_batch,), dtype=jnp.int32)
+               if n_classes > 1 else None)
+    d_vars = discriminator.init(d_rng, dummy, y=dummy_y, train=True)
     d_params, d_state = split_variables(d_vars)
 
     return GANTrainState(

@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from contrad_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
+from contrad_tpu.parallel.mesh import (
+    batch_sharding, get_mesh, place_global_batch, replicate)
 from contrad_tpu.training.modes import ModeCtx, get_mode
 from contrad_tpu.training.state import GANTrainState, ema_update
 
@@ -119,6 +120,12 @@ class GANTrainer:
         # bakes RandomHorizontalFlip into cifar*_hflip / AFHQ transforms);
         # applied to reals before the mode's augment chain sees them.
         self.real_aug_fn = real_aug_fn
+        # Conditional path: when the D has class heads (n_classes > 1,
+        # reference base.py:107-130 projection discrimination), train_step
+        # takes real labels; fake labels are sampled uniformly (G itself is
+        # unconditional, as in the reference).
+        self.n_classes = int(getattr(discriminator, "n_classes", 1) or 1)
+        self.conditional = self.n_classes > 1
 
         self.g_apply = make_g_apply(generator)
         self.d_apply = make_d_apply(discriminator)
@@ -139,12 +146,13 @@ class GANTrainer:
     # ------------------------------------------------------------- phases
 
     def _d_update(self, d_params, d_state, d_opt_state, images, gen_images,
-                  loss_rng):
+                  loss_rng, y_real=None, y_gen=None):
         """One D gradient step on (images, gen_images); returns new D triple +
         metrics."""
 
         def d_loss_fn(p):
-            return self.loss_D(self.ctx, p, d_state, images, gen_images, loss_rng)
+            return self.loss_D(self.ctx, p, d_state, images, gen_images,
+                               loss_rng, y_real=y_real, y_gen=y_gen)
 
         (_, (metrics, d_state)), grads = jax.value_and_grad(
             d_loss_fn, has_aux=True)(d_params)
@@ -152,9 +160,10 @@ class GANTrainer:
         d_params = optax.apply_updates(d_params, updates)
         return d_params, d_state, d_opt_state, metrics
 
-    def _d_substep(self, g_params, carry, images):
+    def _d_substep(self, g_params, carry, xs):
+        images, labels = xs if isinstance(xs, tuple) else (xs, None)
         d_params, d_state, d_opt_state, g_state, rng = carry
-        rng, z_rng, noise_rng, loss_rng = jax.random.split(rng, 4)
+        rng, z_rng, noise_rng, loss_rng, y_rng = jax.random.split(rng, 5)
         n = images.shape[0]
 
         z = self.generator.sample_latent(z_rng, n)
@@ -162,19 +171,22 @@ class GANTrainer:
                                            rng=noise_rng, **self.g_kwargs)
         gen_images = jax.lax.stop_gradient(gen_images)
 
+        y_gen = (jax.random.randint(y_rng, (n,), 0, self.n_classes)
+                 if labels is not None else None)
         d_params, d_state, d_opt_state, metrics = self._d_update(
-            d_params, d_state, d_opt_state, images, gen_images, loss_rng)
+            d_params, d_state, d_opt_state, images, gen_images, loss_rng,
+            y_real=labels, y_gen=y_gen)
         return (d_params, d_state, d_opt_state, g_state, rng), metrics
 
     def _g_update(self, g_params, g_state, g_opt_state, d_params, d_state,
-                  z, noise_rng, g_loss_rng):
+                  z, noise_rng, g_loss_rng, y_gen=None):
         """One G gradient step; returns new G triple, advanced D state, loss."""
 
         def g_loss_fn(p):
             gen_images, new_g_state = self.g_apply(p, g_state, z, train=True,
                                                    rng=noise_rng, **self.g_kwargs)
             g_loss, new_d_state = self.loss_G(
-                self.ctx, d_params, d_state, gen_images, g_loss_rng)
+                self.ctx, d_params, d_state, gen_images, g_loss_rng, y_gen=y_gen)
             return g_loss, (new_g_state, new_d_state, gen_images)
 
         (g_loss, (g_state, d_state, gen_images)), g_grads = jax.value_and_grad(
@@ -185,8 +197,10 @@ class GANTrainer:
 
     # ------------------------------------------------------------- train
 
-    def _step(self, state: GANTrainState, images: jax.Array, ema_decay=0.0):
-        """images: (n_critic * B, H, W, C), uint8 or float in [0,1]."""
+    def _step(self, state: GANTrainState, images: jax.Array, ema_decay=0.0,
+              labels=None):
+        """images: (n_critic * B, H, W, C), uint8 or float in [0,1];
+        labels: (n_critic * B,) int class labels (conditional D only)."""
         images = _to_float(images)
         rng = state.rng
         if self.real_aug_fn is not None:
@@ -194,19 +208,24 @@ class GANTrainer:
             images = self.real_aug_fn(ra_rng, images)
         nb = images.shape[0] // self.n_critic
         images = images.reshape((self.n_critic, nb) + images.shape[1:])
+        xs = images
+        if labels is not None:
+            xs = (images, labels.reshape(self.n_critic, nb))
 
         carry = (state.d_params, state.d_state, state.d_opt_state, state.g_state, rng)
         d_substep = functools.partial(self._d_substep, state.g_params)
         (d_params, d_state, d_opt_state, g_state, rng), metrics_seq = jax.lax.scan(
-            d_substep, carry, images)
+            d_substep, carry, xs)
         # Reference logs the last critic iteration's losses (train_gan.py:184-190).
         metrics = jax.tree.map(lambda m: m[-1], metrics_seq)
 
-        rng, z_rng, noise_rng, g_loss_rng, next_rng = jax.random.split(rng, 5)
+        rng, z_rng, noise_rng, g_loss_rng, y_rng, next_rng = jax.random.split(rng, 6)
         z = self.generator.sample_latent(z_rng, nb)
+        y_gen = (jax.random.randint(y_rng, (nb,), 0, self.n_classes)
+                 if labels is not None else None)
         g_params, g_state, g_opt_state, d_state, g_loss, _ = self._g_update(
             state.g_params, g_state, state.g_opt_state, d_params, d_state,
-            z, noise_rng, g_loss_rng)
+            z, noise_rng, g_loss_rng, y_gen=y_gen)
         metrics["G_loss"] = g_loss
 
         if self.ema and state.g_ema_params is not None:
@@ -226,8 +245,13 @@ class GANTrainer:
         )
         return new_state, metrics
 
-    def train_step(self, state: GANTrainState, images, ema_decay: float = 0.0):
-        return self.step_fn(state, images, ema_decay)
+    def train_step(self, state: GANTrainState, images, ema_decay: float = 0.0,
+                   labels=None):
+        if self.conditional and labels is None:
+            raise ValueError("discriminator has n_classes>1: pass labels")
+        if not self.conditional:
+            labels = None  # unconditional D ignores dataset labels
+        return self.step_fn(state, images, ema_decay, labels)
 
     # ------------------------------------------------------------- eval
 
@@ -257,6 +281,11 @@ class GANTrainer:
         return replicate(state, self.mesh)
 
     def place_batch(self, images):
+        """Single-host: ``images`` is the global batch. Multi-host: ``images``
+        is this process's contiguous slice of it (from a sharded
+        BatchIterator) and the global array is assembled per-process."""
+        if jax.process_count() > 1:
+            return place_global_batch(images, self.mesh)
         return jax.device_put(images, batch_sharding(self.mesh))
 
 

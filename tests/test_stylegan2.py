@@ -289,3 +289,43 @@ def test_pallas_blur_rejects_unaligned_channels(np_rng):
     x = jnp.zeros((2, 8, 8, 32))
     with pytest.raises(ValueError):
         pallas_blur2d(x, make_kernel([1, 3, 3, 1]), (2, 2))
+
+
+def test_convlayer_fused_blur_matches_unfused(rng, np_rng):
+    """Folding the anti-alias blur into the strided conv (compose_blur_kernel)
+    must be numerically identical to Blur -> EqualConv."""
+    from contrad_tpu.models.stylegan2.layers import ConvLayer
+
+    x = jnp.asarray(np_rng.normal(size=(2, 16, 16, 8)).astype(np.float32))
+    fused = ConvLayer(12, 3, downsample=True, activate=False, fuse_blur=True)
+    plain = ConvLayer(12, 3, downsample=True, activate=False, fuse_blur=False)
+    variables = fused.init(rng, x)
+    y_f = fused.apply(variables, x)
+    y_p = plain.apply(variables, x)
+    assert y_f.shape == (2, 8, 8, 12)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p),
+                               rtol=1e-5, atol=1e-5)
+    # 1x1 skip-path kernel too
+    fused1 = ConvLayer(12, 1, downsample=True, activate=False, fuse_blur=True)
+    plain1 = ConvLayer(12, 1, downsample=True, activate=False, fuse_blur=False)
+    v1 = fused1.init(rng, x)
+    np.testing.assert_allclose(np.asarray(fused1.apply(v1, x)),
+                               np.asarray(plain1.apply(v1, x)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_modulated_conv_fused_blur_matches_unfused(rng, np_rng):
+    """Upsample path: lhs-dilated conv with composed kernel must equal
+    conv_transpose -> blur (demodulated)."""
+    from contrad_tpu.models.stylegan2.generator import ModulatedConv
+
+    x = jnp.asarray(np_rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    style = jnp.asarray(np_rng.normal(size=(2, 32)).astype(np.float32))
+    fused = ModulatedConv(12, 3, upsample=True, fuse_blur=True)
+    plain = ModulatedConv(12, 3, upsample=True, fuse_blur=False)
+    variables = fused.init(rng, x, style)
+    y_f = fused.apply(variables, x, style)
+    y_p = plain.apply(variables, x, style)
+    assert y_f.shape == (2, 16, 16, 12)
+    np.testing.assert_allclose(np.asarray(y_f), np.asarray(y_p),
+                               rtol=1e-4, atol=1e-5)

@@ -37,6 +37,9 @@ def parse_args():
     p.add_argument("--aug", default="none", type=str,
                    help="Augmentation: none|hflip|hfrt|simclr|simclr_hq|... ")
     p.add_argument("--use_warmup", action="store_true", help="Linear LR warmup")
+    p.add_argument("--conditional", action="store_true",
+                   help="Class-conditional D (projection y-head); real labels "
+                        "from the dataset, fake labels sampled uniformly")
 
     p.add_argument("--temp", default=0.1, type=float,
                    help="Temperature for contrastive losses")
@@ -117,7 +120,20 @@ def main():
         raise ValueError(
             f"global batch {opt.batch_size} must divide device count {n_dev}")
 
-    generator, discriminator = get_architecture(P.architecture, image_size)
+    from contrad_tpu.parallel.mesh import data_shard
+
+    rank, world = data_shard()
+    if world > 1 and (not P.no_fid or not P.no_gif):
+        # In-loop FID/GIF run jitted collective programs; gating them on one
+        # process would deadlock the others. Evaluate offline (test_fid_is.py)
+        # against the saved checkpoints instead.
+        print(f"[multihost rank {rank}] in-loop FID/GIF disabled "
+              f"({world} processes); evaluate offline from checkpoints")
+        P.no_fid = P.no_gif = True
+
+    n_classes = train_set.n_classes if P.conditional else 1
+    generator, discriminator = get_architecture(P.architecture, image_size,
+                                                n_classes=n_classes)
     g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
                                  use_warmup=P.use_warmup)
     d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,
@@ -145,9 +161,12 @@ def main():
     if P.resume:
         logger = Logger(None, resume=P.resume, root=P.logdir_root)
     else:
+        # Multihost: every process must resolve the SAME logdir (orbax writes
+        # the sharded checkpoint collectively), so pin the random suffix.
         logger = Logger(f"{filename}{comment}",
                         subdir=f"gan/{gin_stem}/{P.architecture}",
-                        root=P.logdir_root)
+                        root=P.logdir_root,
+                        rand=P.seed if world > 1 else None)
         shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
 
     if P.resume and has_checkpoint(P.resume):
@@ -172,7 +191,15 @@ def main():
     logger.log(str(opt.to_dict()))
     logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
 
-    if train_set.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
+    if world > 1:
+        # Per-process feeding: identical global permutation everywhere, each
+        # process assembles only its devices' rows (reference equivalent:
+        # DistributedSampler, train_gan.py:245-251).
+        loader = PrefetchIterator(
+            BatchIterator(train_set, opt.batch_size * opt.n_critic,
+                          seed=P.seed, shard=(rank, world)),
+            place_fn=trainer.place_batch)
+    elif train_set.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
         # whole dataset staged to HBM; only index vectors cross the host link
         loader = DeviceBatchIterator(train_set, opt.batch_size * opt.n_critic,
                                      mesh, seed=P.seed)
@@ -207,8 +234,10 @@ def main():
     t0 = time.time()
     imgs_seen = 0
     for step in range(starting_step, opt.max_steps + 1):
-        batch, _ = next(loader)  # prefetched + already on device
-        state, metrics = trainer.train_step(state, batch)
+        batch, batch_labels = next(loader)  # prefetched + already on device
+        labels = (trainer.place_batch(np.asarray(batch_labels))
+                  if P.conditional else None)
+        state, metrics = trainer.train_step(state, batch, labels=labels)
         imgs_seen += opt.batch_size * opt.n_critic  # a step consumes n_critic batches
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:

@@ -129,6 +129,16 @@ def main():
         raise ValueError(
             f"global batch {opt.batch_size} must divide device count {n_dev}")
 
+    from contrad_tpu.parallel.mesh import data_shard
+
+    rank, world = data_shard()
+    if world > 1 and (not P.no_fid or not P.no_gif):
+        # In-loop FID/GIF run jitted collective programs; gating them on one
+        # process would deadlock the others. Evaluate offline from checkpoints.
+        print(f"[multihost rank {rank}] in-loop FID/GIF disabled "
+              f"({world} processes); evaluate offline from checkpoints")
+        P.no_fid = P.no_gif = True
+
     generator, discriminator = get_architecture(P.architecture, image_size)
 
     # LR schedule: warmup * stepped half-life decay (reference
@@ -171,9 +181,12 @@ def main():
     if P.resume:
         logger = Logger(None, resume=P.resume, root=P.logdir_root)
     else:
+        # Multihost: all processes must resolve the same logdir (orbax writes
+        # the checkpoint collectively), so pin the random suffix.
         logger = Logger(f"{filename}_{desc}{comment}",
                         subdir=f"gan_dp/st_{gin_stem}/{P.architecture}",
-                        root=P.logdir_root)
+                        root=P.logdir_root,
+                        rand=P.seed if world > 1 else None)
         shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
 
     if P.resume and has_checkpoint(P.resume):
@@ -196,7 +209,15 @@ def main():
     logger.log(f"Use G moving average: {accum}")
     logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
 
-    if train_set.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
+    if world > 1:
+        # Per-process feeding: identical global permutation everywhere, each
+        # process assembles only its devices' rows (reference equivalent:
+        # DistributedSampler, train_gan.py:245-251).
+        loader = PrefetchIterator(
+            BatchIterator(train_set, opt.batch_size * opt.n_critic,
+                          seed=P.seed, shard=(rank, world)),
+            place_fn=trainer.place_batch)
+    elif train_set.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
         # whole dataset staged to HBM; only index vectors cross the host link
         loader = DeviceBatchIterator(train_set, opt.batch_size * opt.n_critic,
                                      mesh, seed=P.seed)
