@@ -176,12 +176,23 @@ class FIDScore:
         self.is_best = False
 
     def update(self, step: int, sampler: SamplerFn) -> float:
-        scores = [
-            fid_score(sampler, self.embed_fn, self.ref_mu, self.ref_sigma,
-                      self.size, self.batch_size, seed=trial)
-            for trial in range(self.n_avg)
-        ]
+        scores, diversity, meanshift = [], [], []
+        for trial in range(self.n_avg):
+            mu, sigma = compute_stats_from_sampler(
+                sampler, self.embed_fn, self.size, self.batch_size, seed=trial)
+            scores.append(float(calculate_frechet_distance(
+                mu, sigma, self.ref_mu, self.ref_sigma)))
+            # Learning-dynamics proxies (embedder-agnostic, so they work with
+            # the weights-free 'moments' embedder too): feature-space
+            # diversity ratio (mode collapse shows as << 1) and the mean
+            # embedding drift — the two additive components of FID.
+            diversity.append(
+                float(np.trace(np.atleast_2d(sigma))
+                      / max(np.trace(np.atleast_2d(self.ref_sigma)), 1e-12)))
+            meanshift.append(float(np.linalg.norm(mu - self.ref_mu)))
         avg = float(np.mean(scores))
+        self.last_diversity = float(np.mean(diversity))
+        self.last_meanshift = float(np.mean(meanshift))
         self.history.append([step] + [float(s) for s in scores] + [avg])
         self.is_best = avg < self.best
         if self.is_best:

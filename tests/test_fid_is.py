@@ -222,3 +222,33 @@ def test_checkpoint_conversion_shapes(rng):
     got0 = np.asarray(converted["params"]["Conv2d_1a_3x3"]["conv"]["kernel"])
     want0 = np.asarray(variables["params"]["Conv2d_1a_3x3"]["conv"]["kernel"])
     np.testing.assert_allclose(got0, want0)
+
+
+def test_fid_tracker_diversity_proxies():
+    """FIDScore.update exposes the diversity ratio and mean-shift proxies
+    (learning-dynamics signals usable with any embedder, incl. 'moments')."""
+    import os
+    import tempfile
+
+    from contrad_tpu.evaluate.fid import FIDScore, moments_embed_fn
+
+    rng = np.random.default_rng(0)
+    ref = rng.uniform(0, 1, size=(256, 8, 8, 3)).astype(np.float32)
+
+    with tempfile.TemporaryDirectory() as d:
+        # stats for a synthetic 'dataset' via injected ref images
+        from contrad_tpu.evaluate.fid import compute_stats_from_images
+        mu, sigma = compute_stats_from_images(ref, moments_embed_fn)
+        np.savez(os.path.join(d, "fake_stats.npz"), mu=mu, sigma=sigma)
+        tracker = FIDScore("fake", size=128, n_avg=2,
+                           embed_fn=moments_embed_fn, stats_dir=d)
+
+        # sampler ~ same distribution => diversity ~ 1, small meanshift
+        tracker.update(0, lambda n, s: rng.uniform(0, 1, size=(n, 8, 8, 3)))
+        assert 0.8 < tracker.last_diversity < 1.2
+        near = tracker.last_meanshift
+
+        # collapsed sampler => diversity ~ 0, larger meanshift
+        tracker.update(1, lambda n, s: np.zeros((n, 8, 8, 3), np.float32) + 0.9)
+        assert tracker.last_diversity < 0.1
+        assert tracker.last_meanshift > near

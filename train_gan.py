@@ -266,6 +266,10 @@ def main():
                 fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
                 logger.scalar_summary("gan/test/fid", fid_avg, step)
                 logger.scalar_summary("gan/test/fid/best", fid.best, step)
+                logger.scalar_summary("gan/test/fid/diversity",
+                                      fid.last_diversity, step)
+                logger.scalar_summary("gan/test/fid/meanshift",
+                                      fid.last_meanshift, step)
             if not P.no_gif:
                 fixed_gen.update(sample_from_z)
                 imageio.mimsave(
