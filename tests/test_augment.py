@@ -121,6 +121,35 @@ def test_gaussian_blur_smooths(rng):
     np.testing.assert_allclose(np.asarray(yc), 0.37, atol=1e-5)
 
 
+def test_gaussian_blur_matmul_matches_depthwise_conv(rng):
+    """The banded-Toeplitz matmul blur must equal the from-definition
+    separable depthwise conv with reflect padding (reference GaussianBlur,
+    augment/__init__.py:53-78)."""
+    for h, w in ((32, 32), (64, 48)):
+        x = jax.random.uniform(jax.random.fold_in(rng, h), (3, h, w, 3))
+        y = gaussian_blur((1.3, 1.3))(rng, x)
+
+        radius = (h // 10) // 2
+        ksize = radius * 2 + 1
+        # same sigma draw as inside gaussian_blur
+        sigma = jax.random.uniform(rng, (), minval=1.3, maxval=1.3)
+        coords = jnp.arange(ksize, dtype=jnp.float32) - radius
+        kern = jnp.exp(-(coords ** 2) / (2.0 * sigma ** 2))
+        kern = kern / jnp.sum(kern)
+        xp = jnp.pad(x, ((0, 0), (radius, radius), (radius, radius), (0, 0)),
+                     mode="reflect")
+        kh = jnp.tile(kern.reshape(ksize, 1, 1, 1), (1, 1, 1, 3))
+        kw = jnp.tile(kern.reshape(1, ksize, 1, 1), (1, 1, 1, 3))
+        ref = jax.lax.conv_general_dilated(
+            xp, kh, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3)
+        ref = jax.lax.conv_general_dilated(
+            ref, kw, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=3)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-5)
+
+
 def test_gaussian_noise_clips(rng):
     x = jnp.zeros((4, 8, 8, 3))
     y = gaussian_noise(0.5)(rng, x)

@@ -1,14 +1,14 @@
 """Component ablation for the 512x512 StyleGAN2+ContraD step: where does the
-time go? Times G fwd, G fwd+bwd, D fwd, D fwd+bwd, augment, and the full step.
+time go? Times G fwd, G fwd+bwd, D fwd, D fwd+bwd, augment, and the full step
+using the readback-difference protocol from tools/tpu_timing.py (plain
+block_until_ready does not synchronize reliably through the axon tunnel).
 
-Run alone on the TPU (no concurrent CPU-heavy jobs — they skew the tunnel
-timings): python tools/ablate_512.py [--dtype bf16]
+Run alone on the TPU: python tools/ablate_512.py [--dtype bf16]
 """
 
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -21,20 +21,7 @@ from contrad_tpu.models import get_architecture
 from contrad_tpu.parallel import get_mesh
 from contrad_tpu.training import create_train_state, make_optimizer
 from contrad_tpu.training.step import StyleGAN2Trainer
-
-
-def timeit(name, fn, *args, steps=20, trials=2):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, (time.perf_counter() - t0) / steps)
-    print(f"  {name:28s} {best*1000:8.2f} ms")
-    return best
+from tools.tpu_timing import time_chained, time_step
 
 
 def main():
@@ -59,51 +46,73 @@ def main():
                                              dtype=np.uint8)
     batch = tr.place_batch(data)
     x = jnp.asarray(data, jnp.float32) / 255.0
+    x3 = jnp.concatenate([x, x, x], axis=0)
     z = g.sample_latent(jax.random.PRNGKey(1), B)
     rng = jax.random.PRNGKey(2)
 
     print(f"devices: {jax.devices()}  dtype={args.dtype}  b{B}")
 
-    g_fwd = jax.jit(lambda p, s, z: tr.g_apply(p, s, z, train=True,
-                                               update_state=False,
-                                               rng=rng, style_mix=0.9)[0])
-    timeit("G forward", g_fwd, st.g_params, st.g_state, z)
+    def report(name, dt):
+        print(f"  {name:28s} {dt*1000:8.2f} ms")
 
-    def g_loss(p, s, z):
-        img = tr.g_apply(p, s, z, train=True, update_state=False,
-                         rng=rng, style_mix=0.9)[0]
-        return jnp.sum(img.astype(jnp.float32))
+    # G forward, chained through z-reuse (image -> reduce to fake z? shapes
+    # differ); instead chain through a scalar perturbation of z.
+    g_fwd = jax.jit(
+        lambda zz: tr.g_apply(st.g_params, st.g_state, zz, train=True,
+                              update_state=False, rng=rng, style_mix=0.9)[0])
 
-    g_bwd = jax.jit(jax.grad(g_loss))
-    timeit("G fwd+bwd", g_bwd, st.g_params, st.g_state, z)
+    def g_chain(zz):
+        img = g_fwd(zz)
+        return zz + jnp.mean(img).astype(zz.dtype) * 1e-9
 
-    d_fwd = jax.jit(lambda p, s, x: tr.d_apply(p, s, x, train=True,
-                                               update_state=False)[0][0])
-    timeit("D forward (B)", d_fwd, st.d_params, st.d_state, x)
-    x3 = jnp.concatenate([x, x, x], axis=0)
-    timeit("D forward (3B contrad)", d_fwd, st.d_params, st.d_state, x3)
+    report("G forward", time_chained(g_chain, z))
 
-    def d_loss(p, s, xx):
-        return jnp.sum(tr.d_apply(p, s, xx, train=True,
-                                  update_state=False)[0][0])
+    g_bwd = jax.jit(jax.grad(
+        lambda zz: jnp.sum(
+            tr.g_apply(st.g_params, st.g_state, zz, train=True,
+                       update_state=False, rng=rng,
+                       style_mix=0.9)[0].astype(jnp.float32))))
 
-    d_bwd = jax.jit(jax.grad(d_loss))
-    timeit("D fwd+bwd (3B)", d_bwd, st.d_params, st.d_state, x3)
+    def gb_chain(zz):
+        return zz + g_bwd(zz) * 1e-9
+
+    report("G fwd + bwd-through-G", time_chained(gb_chain, z))
+
+    d_fwd = jax.jit(
+        lambda xx: tr.d_apply(st.d_params, st.d_state, xx, train=True,
+                              update_state=False)[0][0])
+
+    def d_chain(xx):
+        return xx + jnp.mean(d_fwd(xx)).astype(xx.dtype) * 1e-9
+
+    report("D forward (B)", time_chained(d_chain, x))
+    report("D forward (3B contrad)", time_chained(d_chain, x3))
+
+    d_bwd = jax.jit(jax.grad(
+        lambda xx: jnp.sum(tr.d_apply(st.d_params, st.d_state, xx, train=True,
+                                      update_state=False)[0][0])))
+
+    def db_chain(xx):
+        return xx + d_bwd(xx) * 1e-9
+
+    report("D fwd+bwd-to-input (3B)", time_chained(db_chain, x3))
 
     aug = jax.jit(lambda r, xx: tr.ctx.augment_fn(r, xx))
-    timeit("augment simclr_hq (3B)", aug, rng, x3)
 
-    step = lambda s, b: tr.train_step(s, b, ema_decay=0.99, do_r1=False)
-    st2, m = step(st, batch)
-    jax.block_until_ready(st2.g_params)
-    best = float("inf")
-    for _ in range(2):
-        t0 = time.perf_counter()
-        for _ in range(15):
-            st2, m = step(st2, batch)
-        jax.block_until_ready(st2.g_params)
-        best = min(best, (time.perf_counter() - t0) / 15)
-    print(f"  {'FULL STEP':28s} {best*1000:8.2f} ms   ({B/best:.1f} img/s)")
+    def aug_chain(xx):
+        return 0.5 * xx + 0.5 * aug(rng, xx)
+
+    report("augment simclr_hq (3B)", time_chained(aug_chain, x3))
+
+    # step_fn donates the state buffers — keep an undonated copy for the
+    # second timing.
+    st_r1 = jax.tree.map(jnp.copy, st)
+    dt = time_step(lambda s, b: tr.train_step(s, b, ema_decay=0.99,
+                                              do_r1=False), st, batch)
+    print(f"  {'FULL STEP':28s} {dt*1000:8.2f} ms   ({B/dt:.1f} img/s)")
+    dt_r1 = time_step(lambda s, b: tr.train_step(s, b, ema_decay=0.99,
+                                                 do_r1=True), st_r1, batch)
+    print(f"  {'FULL STEP +R1':28s} {dt_r1*1000:8.2f} ms")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,81 @@
+"""Trustworthy timing on the axon-tunneled TPU.
+
+``jax.block_until_ready`` does not reliably synchronize through the tunnel for
+small dispatches (measured: a 1.1-TFLOP matmul "completes" in 0.08 ms, 30x
+over the chip's peak). The robust protocol:
+
+  * chain N iterations through a data dependency (output feeds next input),
+  * force completion with a real host readback (``jax.device_get`` of a
+    scalar derived from the final output),
+  * measure two chain lengths and take the difference, cancelling the
+    ~30 ms RPC/readback overhead.
+
+Validated: an 8192^3 bf16 matmul measures ~170 TF/s with this protocol
+(plausible for v5e, peak 394) vs ~13,000 TF/s with block_until_ready.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def _readback(out) -> float:
+    leaf = jax.tree.leaves(out)[0]
+    return float(jax.device_get(jnp.ravel(leaf)[0]))
+
+
+def time_chained(
+    fn: Callable,
+    init,
+    *args,
+    n_short: int = 5,
+    n_long: int = 25,
+    trials: int = 3,
+) -> float:
+    """Best-of-trials per-iteration seconds for ``carry = fn(carry, *args)``.
+
+    ``fn`` must return something whose first pytree leaf can seed the next
+    call's carry (same structure as ``init``).
+    """
+    carry = fn(init, *args)
+    _readback(carry)
+
+    def run(n):
+        c = init
+        t0 = time.perf_counter()
+        for _ in range(n):
+            c = fn(c, *args)
+        _readback(c)
+        return time.perf_counter() - t0
+
+    best_s = min(run(n_short) for _ in range(trials))
+    best_l = min(run(n_long) for _ in range(trials))
+    return (best_l - best_s) / (n_long - n_short)
+
+
+def time_step(step_fn: Callable, state, *args, n_short: int = 5,
+              n_long: int = 25, trials: int = 3) -> float:
+    """Per-step seconds for a train-step-shaped ``(state, *args) -> (state,
+    metrics)`` function (metrics read back to force completion)."""
+    st, m = step_fn(state, *args)
+    _readback(m)
+
+    def run(n, st):
+        t0 = time.perf_counter()
+        m = None
+        for _ in range(n):
+            st, m = step_fn(st, *args)
+        _readback(m)
+        return time.perf_counter() - t0, st
+
+    shorts, longs = [], []
+    for _ in range(trials):
+        dt, st = run(n_short, st)
+        shorts.append(dt)
+        dt, st = run(n_long, st)
+        longs.append(dt)
+    return (min(longs) - min(shorts)) / (n_long - n_short)
