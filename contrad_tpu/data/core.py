@@ -146,6 +146,111 @@ class PrefetchIterator:
         self._thread.join(timeout=timeout)
 
 
+class ShardedDeviceBatchIterator:
+    """Device-resident dataset SHARDED across the mesh: each device holds 1/N
+    of the (pre-shuffled) dataset in HBM, extending device residency N-fold
+    beyond ``DeviceBatchIterator`` (AFHQ-512, ~3.7 GB uint8, fits an 8-chip
+    v5e mesh at ~470 MB/chip). Replaces the reference's DataLoader worker pool
+    for large folders (``/root/reference/train_gan.py:245-251``).
+
+    Per step, every device gathers ``B/N`` rows from its *local* shard (one
+    jitted shard_map take; only a ~4 KB index vector crosses the host link).
+    Sampling semantics = DistributedSampler with a frozen staging permutation:
+    a global batch is B/N uniform draws from each of N random disjoint chunks.
+    Cross-epoch mixing: at every epoch boundary the shards ring-rotate one hop
+    over ICI (``lax.ppermute``) and each device reshuffles locally, so over N
+    epochs every device cycles through the whole dataset.
+    """
+
+    def __init__(self, dataset: ArrayDataset, batch_size: int, mesh,
+                 seed: int = 0, start_epoch: int = 0):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as Pspec
+
+        from contrad_tpu.data import native
+        from contrad_tpu.parallel.mesh import DATA_AXIS, batch_sharding
+
+        self.n_dev = int(mesh.devices.size)
+        if batch_size % self.n_dev:
+            raise ValueError(f"global batch {batch_size} must divide the "
+                             f"device count {self.n_dev}")
+        self.batch_size = batch_size
+        self.local_batch = batch_size // self.n_dev
+        n = len(dataset) - len(dataset) % self.n_dev
+        self.shard_len = n // self.n_dev
+        if self.local_batch > self.shard_len:
+            raise ValueError(
+                f"per-device batch {self.local_batch} exceeds per-device "
+                f"shard {self.shard_len}")
+        self.seed = seed
+        self.epoch = start_epoch
+
+        # One-time global staging permutation: chunks are random disjoint
+        # subsets, so static chunk membership carries no content bias.
+        stage_rng = np.random.default_rng((seed, 0xD5))
+        perm = stage_rng.permutation(len(dataset))[:n]
+        self._images = jax.device_put(
+            native.gather_batch(dataset.images, perm), batch_sharding(mesh))
+        # labels stay host-side, pre-split into the same chunks
+        self._label_chunks = dataset.labels[perm].reshape(
+            self.n_dev, self.shard_len)
+
+        spec = Pspec(DATA_AXIS)
+        ring = [(i, (i + 1) % self.n_dev) for i in range(self.n_dev)]
+
+        def _local_take(data, idx):
+            return jnp.take(data, idx, axis=0)
+
+        self._gather = jax.jit(jax.shard_map(
+            _local_take, mesh=mesh, in_specs=(spec, spec), out_specs=spec))
+
+        def _shift(data):
+            return jax.lax.ppermute(data, DATA_AXIS, ring)
+
+        self._rotate = jax.jit(
+            jax.shard_map(_shift, mesh=mesh, in_specs=spec, out_specs=spec),
+            donate_argnums=0)
+
+        self._local_orders = None
+        self._pos = 0
+        for _ in range(start_epoch):  # replay rotations for resume parity
+            self._images = self._rotate(self._images)
+
+    def _chunk_of(self, device: int) -> int:
+        """Original chunk held by ``device`` after ``epoch`` ring rotations."""
+        return (device - self.epoch) % self.n_dev
+
+    def _reshuffle(self):
+        self._local_orders = np.stack([
+            np.random.default_rng((self.seed, self.epoch, d)).permutation(
+                self.shard_len)
+            for d in range(self.n_dev)
+        ])  # (n_dev, shard_len)
+        self._pos = 0
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if (self._local_orders is None
+                or self._pos + self.local_batch > self.shard_len):
+            if self._local_orders is not None:
+                self.epoch += 1
+                self._images = self._rotate(self._images)
+            self._reshuffle()
+        idx = self._local_orders[:, self._pos : self._pos + self.local_batch]
+        self._pos += self.local_batch
+        labels = np.concatenate([
+            self._label_chunks[self._chunk_of(d)][idx[d]]
+            for d in range(self.n_dev)
+        ])
+        images = self._gather(self._images, idx.reshape(-1).astype(np.int32))
+        return images, labels
+
+
 class DeviceBatchIterator:
     """Device-resident dataset: the whole uint8 array is staged to HBM once;
     each step gathers the batch ON DEVICE from a host-sent index vector

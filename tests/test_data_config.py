@@ -140,3 +140,73 @@ def test_prefetch_iterator_close_stops_worker():
     n_after_close = next(consumed)
     time.sleep(0.3)
     assert next(consumed) == n_after_close + 1, "iterator still consumed after close()"
+
+
+def test_sharded_device_batch_iterator(devices):
+    """ShardedDeviceBatchIterator: each device holds 1/8 of the dataset;
+    batches pair images with the right labels, one epoch covers every staged
+    sample exactly once, and the epoch-boundary ring rotation changes which
+    chunk each device draws from."""
+    import jax
+
+    from contrad_tpu.data.core import ShardedDeviceBatchIterator
+    from contrad_tpu.parallel.mesh import get_mesh
+
+    n = 64
+    # encode the sample id into the image so image<->label pairing is checkable
+    images = np.zeros((n, 4, 4, 3), dtype=np.uint8)
+    images[:, 0, 0, 0] = np.arange(n) % 256
+    ds = ArrayDataset(images, np.arange(n))
+    mesh = get_mesh(devices)
+    it = ShardedDeviceBatchIterator(ds, batch_size=16, mesh=mesh, seed=5)
+    assert it.shard_len == 8 and it.local_batch == 2
+
+    seen = []
+    for _ in range(4):  # one epoch = shard_len/local_batch = 4 steps
+        imgs, labels = next(it)
+        assert imgs.shape == (16, 4, 4, 3)
+        ids = np.asarray(jax.device_get(imgs))[:, 0, 0, 0]
+        np.testing.assert_array_equal(ids, labels % 256)  # pairing
+        seen.extend(labels.tolist())
+    assert sorted(seen) == list(range(n))  # full coverage, no repeats
+
+    # epoch 2: rotation moved chunks one hop; device 0 now draws from the
+    # chunk device 1 held in epoch 1 (chunk ids = staging permutation order)
+    chunk0_before = it._chunk_of(0)
+    imgs, labels = next(it)  # first batch of epoch 1 (triggers the rotation)
+    assert it.epoch == 1
+    assert it._chunk_of(0) == (chunk0_before - 1) % 8
+    # coverage still holds after rotation
+    seen2 = []
+    for step in range(4):
+        if step:
+            imgs, labels = next(it)
+        seen2.extend(labels.tolist())
+    assert sorted(seen2) == list(range(n))
+
+
+def test_sharded_device_batch_iterator_resume(devices):
+    """start_epoch replays rotations: a fresh iterator resumed at epoch e
+    produces the same batches as one that trained through e epochs."""
+    from contrad_tpu.data.core import ShardedDeviceBatchIterator
+    from contrad_tpu.parallel.mesh import get_mesh
+
+    import jax
+
+    n = 32
+    images = np.zeros((n, 2, 2, 3), dtype=np.uint8)
+    images[:, 0, 0, 0] = np.arange(n)
+    ds = ArrayDataset(images, np.arange(n))
+    mesh = get_mesh(devices)
+
+    it_live = ShardedDeviceBatchIterator(ds, batch_size=8, mesh=mesh, seed=7)
+    for _ in range(it_live.shard_len // it_live.local_batch):  # epoch 0
+        next(it_live)
+    live_imgs, live_labels = next(it_live)  # first batch of epoch 1
+
+    it_resumed = ShardedDeviceBatchIterator(ds, batch_size=8, mesh=mesh,
+                                            seed=7, start_epoch=1)
+    res_imgs, res_labels = next(it_resumed)
+    np.testing.assert_array_equal(live_labels, res_labels)
+    np.testing.assert_array_equal(np.asarray(jax.device_get(live_imgs)),
+                                  np.asarray(jax.device_get(res_imgs)))

@@ -203,6 +203,13 @@ def main():
         # whole dataset staged to HBM; only index vectors cross the host link
         loader = DeviceBatchIterator(train_set, opt.batch_size * opt.n_critic,
                                      mesh, seed=P.seed)
+    elif (n_dev > 1 and train_set.images.nbytes
+          <= DeviceBatchIterator.MAX_BYTES * n_dev):
+        # too big to replicate, fits sharded: 1/N of the dataset per device,
+        # local on-device gathers + epoch-boundary ring rotation over ICI
+        from contrad_tpu.data.core import ShardedDeviceBatchIterator
+        loader = ShardedDeviceBatchIterator(
+            train_set, opt.batch_size * opt.n_critic, mesh, seed=P.seed)
     else:
         loader = PrefetchIterator(
             BatchIterator(train_set, opt.batch_size * opt.n_critic, seed=P.seed),
