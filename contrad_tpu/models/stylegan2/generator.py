@@ -20,7 +20,7 @@ Per-layer noise injection and train-time style mixing draw from the linen
 from __future__ import annotations
 
 import math
-from typing import Any, Optional, Sequence
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -60,11 +60,19 @@ class ModulatedConv(nn.Module):
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     eps: float = 1e-8
     fuse_blur: bool = True  # fold the post-upsample blur into the conv
+    # Space-to-depth packing (ops/packed.py): input is f_in-packed, output is
+    # left f_out-packed. Per-sample modulation/demodulation vectors tile over
+    # the slots; the conv kernel is transformed exactly. Used on the shallow
+    # top level of the 512 generator (C=32 would pad 4x into the 128 lanes).
+    pack: Tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x, style):
+        from contrad_tpu.ops.packed import packed_conv
+
         k = self.kernel_size
-        in_ch = x.shape[-1]
+        f_in, f_out = self.pack
+        in_ch = x.shape[-1] // (f_in * f_in)
         weight = self.param("weight", nn.initializers.normal(stddev=1.0),
                             (k, k, in_ch, self.features))
         scale = 1.0 / math.sqrt(in_ch * k * k)
@@ -73,14 +81,35 @@ class ModulatedConv(nn.Module):
         # modulation + demodulation stats in f32 for stability
         s = EqualDense(in_ch, bias_init=1.0, name="modulation")(
             style.astype(jnp.float32))  # (N, in)
-        xm = x * s[:, None, None, :].astype(x.dtype)
+        s_in = jnp.tile(s, (1, f_in * f_in)) if f_in > 1 else s
+        xm = x * s_in[:, None, None, :].astype(x.dtype)
 
         if self.demodulate:
             w_sq = jnp.sum((weight * scale) ** 2, axis=(0, 1))  # (in, out) f32
             demod = jax.lax.rsqrt(jnp.matmul(s**2, w_sq) + self.eps)  # (N, out)
+            if f_out > 1:
+                demod = jnp.tile(demod, (1, f_out * f_out))
             demod = demod.astype(x.dtype)
 
-        if self.upsample and self.fuse_blur:
+        if self.pack != (1, 1):
+            if self.upsample:
+                # fused transpose-conv + blur, dilation-free in the packed
+                # domain (sub-pixel identity; ops/packed.py)
+                from contrad_tpu.ops.upfirdn2d import compose_blur_kernel
+
+                factor = 2
+                p = (len(self.blur_kernel) - factor) - (k - 1)
+                pb = ((p + 1) // 2 + factor - 1, p // 2 + 1)
+                kc = compose_blur_kernel(
+                    make_kernel(self.blur_kernel) * factor**2, w)
+                y = packed_conv(xm, kc, f_in, f_out, 1,
+                                (k - 1 + pb[0], k - 1 + pb[1]),
+                                lhs_dilation=factor)
+            else:
+                y = packed_conv(xm, w, f_in, f_out, 1, (k // 2, k // 2))
+            if self.demodulate:
+                y = y * demod[:, None, None, :]
+        elif self.upsample and self.fuse_blur:
             # conv_transpose(VALID, s=2) + blur(pad) == ONE lhs-dilated conv
             # with the blur folded into the kernel (see compose_blur_kernel):
             # composed padding = (k-1) + blur_pad per side. Removes the
@@ -121,11 +150,30 @@ class ModulatedConv(nn.Module):
 
 
 class NoiseInjection(nn.Module):
-    """x + weight * N(0,1) per-pixel noise (reference generator.py:85-94)."""
+    """x + weight * N(0,1) per-pixel noise (reference generator.py:85-94).
+
+    ``pack``: x is the f-packed layout of the logical tensor; the per-fine-
+    pixel noise is drawn at fine resolution (same RNG stream as unpacked)
+    and space-to-depth'd, broadcasting over each slot's channel group."""
+
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x, noise=None):
         weight = self.param("weight", nn.initializers.zeros, ())
+        f = self.pack
+        if f > 1:
+            from contrad_tpu.ops.packed import space_to_depth
+
+            n, h, w, cc = x.shape
+            if noise is None:
+                noise = jax.random.normal(self.make_rng("noise"),
+                                          (n, h * f, w * f, 1), dtype=x.dtype)
+            noise_p = space_to_depth(noise.astype(x.dtype), f)  # (n,h,w,f^2)
+            c = cc // (f * f)
+            y = x.reshape(n, h, w, f * f, c)
+            y = y + weight.astype(x.dtype) * noise_p[..., None]
+            return y.reshape(n, h, w, cc)
         if noise is None:
             n, h, w, _ = x.shape
             noise = jax.random.normal(self.make_rng("noise"), (n, h, w, 1),
@@ -157,14 +205,17 @@ class StyleLayer(nn.Module):
     upsample: bool = False
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
     demodulate: bool = True
+    pack: Tuple[int, int] = (1, 1)  # space-to-depth packing (ops/packed.py)
 
     @nn.compact
     def __call__(self, x, style, noise=None):
         x = ModulatedConv(self.features, self.kernel_size,
                           demodulate=self.demodulate, upsample=self.upsample,
-                          blur_kernel=self.blur_kernel, name="conv")(x, style)
-        x = NoiseInjection(name="noise")(x, noise)
-        return FusedLeakyReLU(self.features, name="activate")(x)
+                          blur_kernel=self.blur_kernel, pack=self.pack,
+                          name="conv")(x, style)
+        x = NoiseInjection(pack=self.pack[1], name="noise")(x, noise)
+        return FusedLeakyReLU(self.features, pack=self.pack[1],
+                              name="activate")(x)
 
 
 class ToRGB(nn.Module):
@@ -173,15 +224,25 @@ class ToRGB(nn.Module):
 
     upsample: bool = True
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
+    pack: int = 1  # input/output f-packed; skip-upsample stays packed too
 
     @nn.compact
     def __call__(self, x, style, skip=None):
-        out = ModulatedConv(3, 1, demodulate=False, name="conv")(x, style)
+        f = self.pack
+        out = ModulatedConv(3, 1, demodulate=False, pack=(f, f),
+                            name="conv")(x, style)
         bias = self.param("bias", nn.initializers.zeros, (1, 1, 1, 3))
+        if f > 1:
+            bias = jnp.tile(bias, (1, 1, 1, f * f))
         out = out + bias.astype(out.dtype)
         if skip is not None:
-            skip = upsample2d(skip, make_kernel(self.blur_kernel))
-            out = out + skip
+            if f > 1:
+                from contrad_tpu.ops.packed import upsample2d_packed
+
+                skip = upsample2d_packed(skip, make_kernel(self.blur_kernel), f)
+            else:
+                skip = upsample2d(skip, make_kernel(self.blur_kernel))
+            out = out + skip.astype(out.dtype)
         return out
 
 
@@ -197,6 +258,12 @@ class GStylegan2(nn.Module):
     lr_mlp: float = 0.01
     small32: bool = False
     dtype: Any = jnp.float32  # synthesis compute dtype (style MLP stays f32)
+    # Space-to-depth packed top level (ops/packed.py): when the output level
+    # has <= 32 channels (512 with channel_multiplier 1.0), the last two
+    # StyleLayers, the final ToRGB and its skip-upsample run f=2 packed and
+    # the image is depth_to_space'd at the end. Identical function and
+    # param tree; lane-dense layouts on the shallowest (largest) tensors.
+    pack_top: bool = True
 
     @property
     def log_size(self) -> int:
@@ -224,15 +291,20 @@ class GStylegan2(nn.Module):
         self.conv1 = StyleLayer(channels[4], 3, blur_kernel=self.blur_kernel)
         self.to_rgb1 = ToRGB(upsample=False)
 
+        self._packed_top = self.pack_top and channels[self.size] <= 32
         layers = []
         to_rgbs = []
         in_ch = channels[4]
         for i in range(3, self.log_size + 1):
             out_ch = channels[2**i]
+            top = self._packed_top and i == self.log_size
             layers.append(StyleLayer(out_ch, 3, upsample=True,
-                                     blur_kernel=self.blur_kernel))
-            layers.append(StyleLayer(out_ch, 3, blur_kernel=self.blur_kernel))
-            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel))
+                                     blur_kernel=self.blur_kernel,
+                                     pack=(1, 2) if top else (1, 1)))
+            layers.append(StyleLayer(out_ch, 3, blur_kernel=self.blur_kernel,
+                                     pack=(2, 2) if top else (1, 1)))
+            to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel,
+                                 pack=2 if top else 1))
             in_ch = out_ch
         self.layers = layers
         self.to_rgbs = to_rgbs
@@ -295,6 +367,10 @@ class GStylegan2(nn.Module):
             skip = to_rgb(out, latents[:, idx + 2], skip)
             idx += 2
 
+        if self._packed_top:
+            from contrad_tpu.ops.packed import depth_to_space
+
+            skip = depth_to_space(skip, 2)
         image = 0.5 * skip.astype(jnp.float32) + 0.5
         if not train:
             image = jnp.clip(image, 0.0, 1.0)

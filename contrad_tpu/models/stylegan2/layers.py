@@ -59,6 +59,10 @@ class EqualConv(nn.Module):
     reference layers.py:174-193) into this conv via kernel composition — same
     math, one dense MXU conv instead of depthwise-blur + conv. Padding then
     follows the Blur's arithmetic: p = (kb - 2) + (k - 1), pad (ceil, floor).
+
+    ``pack = (f_in, f_out)``: input/output are space-to-depth packings of the
+    logical tensors (``ops/packed.py``) — exact same function on lane-dense
+    shapes; the (k, k, in, out) parameter is unchanged.
     """
 
     features: int
@@ -67,11 +71,15 @@ class EqualConv(nn.Module):
     padding: int = 0
     use_bias: bool = True
     pre_blur: Tuple[float, ...] = ()
+    pack: Tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x):
+        from contrad_tpu.ops.packed import packed_conv
+
         k = self.kernel_size
-        in_ch = x.shape[-1]
+        f_in, f_out = self.pack
+        in_ch = x.shape[-1] // (f_in * f_in)
         weight = self.param("weight", nn.initializers.normal(stddev=1.0),
                             (k, k, in_ch, self.features))
         scale = 1.0 / math.sqrt(in_ch * k * k)
@@ -83,13 +91,18 @@ class EqualConv(nn.Module):
             w = compose_blur_kernel(blur, w)
         else:
             pad = (self.padding, self.padding)
-        y = jax.lax.conv_general_dilated(
-            x, w,
-            window_strides=(self.stride, self.stride),
-            padding=(pad, pad),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.pack != (1, 1):
+            y = packed_conv(x, w, f_in, f_out, self.stride, pad)
+        else:
+            y = jax.lax.conv_general_dilated(
+                x, w,
+                window_strides=(self.stride, self.stride),
+                padding=(pad, pad),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,))
+            if f_out > 1:
+                bias = jnp.tile(bias, f_out * f_out)
             y = y + bias.astype(x.dtype)
         return y
 
@@ -137,13 +150,14 @@ class ConvLayer(nn.Module):
     downsample: bool = False
     activate: bool = True
     fuse_blur: bool = True  # fold the anti-alias blur into the strided conv
+    pack: Tuple[int, int] = (1, 1)  # space-to-depth packing (ops/packed.py)
 
     @nn.compact
     def __call__(self, x):
-        if self.downsample and self.fuse_blur:
+        if self.downsample and (self.fuse_blur or self.pack != (1, 1)):
             x = EqualConv(self.features, self.kernel_size, stride=2,
                           pre_blur=tuple(self.blur_kernel), use_bias=False,
-                          name="conv")(x)
+                          pack=self.pack, name="conv")(x)
         else:
             if self.downsample:
                 factor = 2
@@ -154,9 +168,11 @@ class ConvLayer(nn.Module):
             else:
                 stride, padding = 1, self.kernel_size // 2
             x = EqualConv(self.features, self.kernel_size, stride=stride,
-                          padding=padding, use_bias=False, name="conv")(x)
+                          padding=padding, use_bias=False, pack=self.pack,
+                          name="conv")(x)
         if self.activate:
-            x = FusedLeakyReLU(self.features, name="act")(x)
+            x = FusedLeakyReLU(self.features, pack=self.pack[1],
+                               name="act")(x)
         return x
 
 
@@ -164,7 +180,9 @@ class FromRGB(nn.Module):
     """1x1 ConvLayer from RGB (reference discriminator.py:17-19)."""
 
     features: int
+    pack: Tuple[int, int] = (1, 1)
 
     @nn.compact
     def __call__(self, x):
-        return ConvLayer(self.features, 1, activate=True, name="conv")(x)
+        return ConvLayer(self.features, 1, activate=True, pack=self.pack,
+                         name="conv")(x)

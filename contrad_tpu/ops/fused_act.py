@@ -33,13 +33,23 @@ def fused_leaky_relu(
 
 
 class FusedLeakyReLU(nn.Module):
-    """Per-channel-bias leaky ReLU with sqrt(2) gain (StyleGAN2 convention)."""
+    """Per-channel-bias leaky ReLU with sqrt(2) gain (StyleGAN2 convention).
+
+    ``pack``: the activation is the space-to-depth f-packing of the logical
+    tensor (see ``ops/packed.py``); the (channels,) bias parameter is tiled
+    over the f^2 slots so the math (and the checkpoint) are unchanged.
+    """
 
     channels: int
     negative_slope: float = 0.2
     scale: float = math.sqrt(2.0)
+    pack: int = 1
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import jax.numpy as jnp
+
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        if self.pack > 1:
+            bias = jnp.tile(bias, self.pack * self.pack)
         return fused_leaky_relu(x, bias, self.negative_slope, self.scale)

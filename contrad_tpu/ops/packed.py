@@ -1,0 +1,169 @@
+"""Space-to-depth packed convolutions for shallow-channel high-res levels.
+
+TPU motivation: XLA tiles the two minormost dims of an NHWC activation as
+(8 sublane, 128 lane) = (N, C). At the StyleGAN2-512 stem the channel counts
+are 3/32/64, so every 512^2 tensor is padded 4x (C=32 -> 128 lanes) in HBM —
+4x the bandwidth on the hottest tensors of the model — and the 32-wide
+matmuls underfill the MXU (measured 8.5 TF/s for the 3x3 32->32 conv vs 62
+TF/s for its packed equivalent; tools/packed_micro.py).
+
+The fix is a *layout* change, not a model change: represent a (B, H, W, C)
+activation as its space-to-depth packing (B, H/f, W/f, f^2*C) and transform
+each conv kernel so the packed conv computes the exact same function
+(`pack_conv_kernel`). Parameters keep their reference shapes — packing is
+invisible to checkpoints, init, and the optimizer.
+
+Kernel math: for output fine pixel o = f_out*O + a and tap d of a stride-s
+conv with low padding p, the input fine index is i = s*o + d - p. Writing
+i = f_in*I + c splits into a coarse tap t = floor((s*a + d - p)/f_in) and an
+input slot c = (s*a + d - p) mod f_in, so the packed conv has stride
+S = s*f_out/f_in (must be integral), coarse kernel size K = t_max - t_min + 1,
+low padding P = -t_min, and block-structured weights
+W'[t, (c, ci), (a, co)] = w[d, ci, co]. Zero padding commutes with packing
+(a zero coarse cell is f_in zero fine pixels), so equality is exact.
+
+This is the TPU-native answer to the problem the reference solves with a
+hand-tiled CUDA kernel pipeline at high resolution
+(``/root/reference/models/gan/stylegan2/op/upfirdn2d_kernel.cu``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    """(B, H, W, C) -> (B, H/f, W/f, f*f*C); channel index (a_y*f + a_x)*C + c."""
+    if f == 1:
+        return x
+    b, h, w, c = x.shape
+    assert h % f == 0 and w % f == 0, (x.shape, f)
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // f, w // f, f * f * c)
+
+
+def depth_to_space(x: jax.Array, f: int) -> jax.Array:
+    """Inverse of :func:`space_to_depth`."""
+    if f == 1:
+        return x
+    b, hh, ww, cc = x.shape
+    c = cc // (f * f)
+    x = x.reshape(b, hh, ww, f, f, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, hh * f, ww * f, c)
+
+
+def _axis_geometry(k: int, f_in: int, f_out: int, stride: int,
+                   p_lo: int, l: int = 1) -> Tuple[int, int, int]:
+    """(S, K, P_lo) of the packed conv along one spatial axis.
+
+    ``l`` is the lhs_dilation of the original conv (transpose-conv
+    upsampling): only taps with (stride*a + d - p_lo) % l == 0 touch a real
+    input pixel; their fine input index is (stride*a + d - p_lo) / l.
+    """
+    assert (stride * f_out) % (l * f_in) == 0, (stride, f_in, f_out, l)
+    S = stride * f_out // (l * f_in)
+    pos = np.add.outer(stride * np.arange(f_out), np.arange(k)) - p_lo
+    pos = pos[pos % l == 0] // l
+    t = pos // f_in
+    K = int(t.max() - t.min() + 1)
+    return S, K, int(-t.min())
+
+
+def pack_conv_kernel(
+    w: jax.Array,
+    f_in: int,
+    f_out: int,
+    stride: int,
+    pad: Tuple[int, int],
+    lhs_dilation: int = 1,
+) -> Tuple[jax.Array, int, Tuple[int, int]]:
+    """Transform an HWIO kernel so that
+
+        conv(x, w, stride, pad, lhs_dilation) == depth_to_space(
+            conv(space_to_depth(x, f_in), w', S, (P_lo, P_hi)), f_out)
+
+    exactly (square kernels, zero padding). Returns ``(w', S, (P_lo, P_hi))``.
+    With ``lhs_dilation`` (transpose-conv upsampling) the packed conv is
+    dilation-free: the classic sub-pixel-convolution identity, generalized.
+    The high pad ``P_hi = K - S - P_lo`` is valid whenever the original conv
+    maps H -> H*l/stride (all StyleGAN2 resampling convs do); output-shape
+    equality is asserted by the parity tests.
+    """
+    k_h, k_w, ci, co = w.shape
+    assert k_h == k_w, "square kernels only"
+    k = k_h
+    l = lhs_dilation
+    p_lo, _ = pad
+    S, K, P_lo = _axis_geometry(k, f_in, f_out, stride, p_lo, l)
+    P_hi = K - S - P_lo
+
+    # Per output slot a, the taps touching real input pixels are
+    # d = d0, d0+l, ... with d0 = (p_lo - stride*a) mod l; tap j (= the j-th
+    # valid one) lands on fine input index (stride*a + d0 - p_lo)/l + j.
+    # Place that run inside a K*f_in fine grid (offset by P_lo*f_in), then
+    # fold the fine axis into (coarse tap, input slot). Done per spatial axis.
+    def expand(wk, axis):
+        rows = []
+        for a in range(f_out):
+            d0 = (p_lo - stride * a) % l
+            sl = [slice(None)] * wk.ndim
+            sl[axis] = slice(d0, None, l)
+            sub = wk[tuple(sl)]
+            m = sub.shape[axis]
+            start = (stride * a + d0 - p_lo) // l + P_lo * f_in
+            cfg = [(0, 0)] * wk.ndim
+            cfg[axis] = (start, K * f_in - m - start)
+            rows.append(jnp.pad(sub, cfg))
+        return jnp.stack(rows)  # (f_out, ..., K*f_in at axis+1, ...)
+
+    wp = expand(w, 0)  # (fo_y, K*f_in, k, ci, co)
+    wp = wp.reshape(f_out, K, f_in, k, ci, co)
+    wp = expand(wp, 3)  # (fo_x, fo_y, K_y, f_in_y, K*f_in, ci, co)
+    wp = wp.reshape(f_out, f_out, K, f_in, K, f_in, ci, co)
+    # (fo_x, fo_y, K_y, c_y, K_x, c_x, ci, co)
+    #   -> (K_y, K_x, c_y, c_x, ci, fo_y, fo_x, co)
+    wp = wp.transpose(2, 4, 3, 5, 6, 1, 0, 7)
+    wp = wp.reshape(K, K, f_in * f_in * ci, f_out * f_out * co)
+    return wp, S, (P_lo, P_hi)
+
+
+def upsample2d_packed(x: jax.Array, kernel: np.ndarray,
+                      factor: int = 2) -> jax.Array:
+    """``upsample2d(x, kernel, factor)`` with the output left f=factor packed:
+    the FIR upsample (ops/upfirdn2d.upsample2d padding arithmetic) as one
+    dilation-free conv on the coarse grid. The depthwise FIR becomes a dense
+    diagonal (k, k, C, C) kernel — only used on C=3 RGB skips, where dense
+    cost is negligible and the packed layout avoids a 2x-res round trip."""
+    k = np.asarray(kernel, np.float32) * (factor**2)
+    kb = k.shape[0]
+    p = kb - factor
+    pad = ((p + 1) // 2 + factor - 1, p // 2 + factor - 1)
+    c = x.shape[-1]
+    wd = np.zeros((kb, kb, c, c), np.float32)
+    wd[:, :, np.arange(c), np.arange(c)] = k[:, :, None]
+    return packed_conv(x, jnp.asarray(wd), 1, factor, 1, pad,
+                       lhs_dilation=factor)
+
+
+def packed_conv(
+    x: jax.Array,
+    w: jax.Array,
+    f_in: int,
+    f_out: int,
+    stride: int,
+    pad: Tuple[int, int],
+    lhs_dilation: int = 1,
+) -> jax.Array:
+    """conv(unpack(x), w)[packed]: x is the f_in-packed input, result is the
+    f_out-packed output of the original (stride, pad, lhs_dilation) conv."""
+    wp, S, P = pack_conv_kernel(w.astype(x.dtype), f_in, f_out, stride, pad,
+                                lhs_dilation)
+    return jax.lax.conv_general_dilated(
+        x, wp, (S, S), (P, P),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
