@@ -52,27 +52,29 @@ class ResBlock(nn.Module):
     """conv3x3 + blur-downsample conv3x3, 1x1 downsample skip, /sqrt(2)
     (reference discriminator.py:60-76).
 
-    ``packed``: input arrives space-to-depth f=2 packed (ops/packed.py);
-    conv1 runs packed-to-packed and the two downsample convs unpack, so the
-    output is an ordinary (H/2, W/2, features) tensor. Exact same math,
-    lane-dense layouts (the shallow-channel 512^2 level otherwise pads
-    C=32 -> 128 lanes: 4x HBM traffic, ~8 TF/s convs)."""
+    ``pack_in`` / ``pack_out``: input arrives space-to-depth f=pack_in packed
+    (ops/packed.py); conv1 runs packed-to-packed and the two downsample convs
+    emit f=pack_out packed output (1 = ordinary (H/2, W/2, features) tensor —
+    strided convs repack/unpack for free). Exact same math, lane-dense
+    layouts (the shallow-channel 512^2/256^2 levels otherwise pad
+    C=32/64 -> 128 lanes: 4x/2x HBM traffic, ~8 TF/s convs)."""
 
     features: int
     blur_kernel: Sequence[int] = (1, 3, 3, 1)
-    packed: bool = False
+    pack_in: int = 1
+    pack_out: int = 1
 
     @nn.compact
     def __call__(self, x):
-        f = 2 if self.packed else 1
+        f, fo = self.pack_in, self.pack_out
         in_ch = x.shape[-1] // (f * f)
         out = ConvLayer(in_ch, 3, activate=True, pack=(f, f),
                         name="conv1")(x)
         out = ConvLayer(self.features, 3, blur_kernel=self.blur_kernel,
-                        downsample=True, activate=True, pack=(f, 1),
+                        downsample=True, activate=True, pack=(f, fo),
                         name="conv2")(out)
         skip = ConvLayer(self.features, 1, blur_kernel=self.blur_kernel,
-                         downsample=True, activate=False, pack=(f, 1),
+                         downsample=True, activate=False, pack=(f, fo),
                          name="skip")(x)
         return (out + skip) / math.sqrt(2.0)
 
@@ -89,8 +91,10 @@ class ResidualBackbone(nn.Module):
     dtype: Any = jnp.float32
     # Space-to-depth packed stem (ops/packed.py): when the top level has
     # <= 32 channels (512^2 with channel_multiplier 1.0), run FromRGB and the
-    # first ResBlock on f=2 packed tensors — identical function, ~2x faster
-    # level (measured, tools/packed_micro.py). Param tree is unchanged.
+    # shallow ResBlocks on f=2 packed tensors, staying packed down the
+    # downsample chain until a level reaches 128 channels (strided convs
+    # repack for free) — identical function, ~2x faster levels (measured,
+    # tools/packed_micro.py). Param tree is unchanged.
     pack_stem: bool = True
 
     @nn.compact
@@ -105,10 +109,15 @@ class ResidualBackbone(nn.Module):
         x = FromRGB(channels[self.size], pack=(2, 2) if packed else (1, 1),
                     name="from_rgb")(x)
         log_size = int(math.log2(self.size))
+        f_in = 2 if packed else 1
         for i in range(log_size, 2, -1):
+            # stay packed while the next level is still lane-shallow
+            f_out = 2 if (f_in == 2 and channels[2 ** (i - 1)] < 128
+                          and i > 3) else 1
             x = ResBlock(channels[2 ** (i - 1)], self.blur_kernel,
-                         packed=packed and i == log_size,
+                         pack_in=f_in, pack_out=f_out,
                          name=f"block_{2**i}")(x)
+            f_in = f_out
         x = minibatch_stddev(x)
         x = ConvLayer(channels[4], 3, activate=True, name="last_conv")(x)
         # heads/losses run in f32

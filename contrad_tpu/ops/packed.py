@@ -103,32 +103,26 @@ def pack_conv_kernel(
     S, K, P_lo = _axis_geometry(k, f_in, f_out, stride, p_lo, l)
     P_hi = K - S - P_lo
 
-    # Per output slot a, the taps touching real input pixels are
-    # d = d0, d0+l, ... with d0 = (p_lo - stride*a) mod l; tap j (= the j-th
-    # valid one) lands on fine input index (stride*a + d0 - p_lo)/l + j.
-    # Place that run inside a K*f_in fine grid (offset by P_lo*f_in), then
-    # fold the fine axis into (coarse tap, input slot). Done per spatial axis.
-    def expand(wk, axis):
-        rows = []
-        for a in range(f_out):
-            d0 = (p_lo - stride * a) % l
-            sl = [slice(None)] * wk.ndim
-            sl[axis] = slice(d0, None, l)
-            sub = wk[tuple(sl)]
-            m = sub.shape[axis]
-            start = (stride * a + d0 - p_lo) // l + P_lo * f_in
-            cfg = [(0, 0)] * wk.ndim
-            cfg[axis] = (start, K * f_in - m - start)
-            rows.append(jnp.pad(sub, cfg))
-        return jnp.stack(rows)  # (f_out, ..., K*f_in at axis+1, ...)
-
-    wp = expand(w, 0)  # (fo_y, K*f_in, k, ci, co)
-    wp = wp.reshape(f_out, K, f_in, k, ci, co)
-    wp = expand(wp, 3)  # (fo_x, fo_y, K_y, f_in_y, K*f_in, ci, co)
-    wp = wp.reshape(f_out, f_out, K, f_in, K, f_in, ci, co)
-    # (fo_x, fo_y, K_y, c_y, K_x, c_x, ci, co)
-    #   -> (K_y, K_x, c_y, c_x, ci, fo_y, fo_x, co)
-    wp = wp.transpose(2, 4, 3, 5, 6, 1, 0, 7)
+    # One einsum against a CONSTANT 0/1 selection tensor. (An earlier
+    # pad/stack/transpose formulation spent ~12 ms/step in the 512^2 train
+    # step on relayouts of the tiny intermediates; a single contraction
+    # against a static tensor compiles to one cheap fused op, and its VJP is
+    # the transposed einsum.) Per axis: tap d of output slot a touches a real
+    # input pixel iff (stride*a + d - p_lo) % l == 0, at fine index
+    # i = (stride*a + d - p_lo)/l, i.e. coarse tap t = floor(i/f_in) + P_lo
+    # and input slot c = i mod f_in.
+    T1 = np.zeros((K, f_in, f_out, k), np.float32)  # [t, c, a, d]
+    for a in range(f_out):
+        for d in range(k):
+            pos = stride * a + d - p_lo
+            if pos % l:
+                continue
+            i = pos // l
+            T1[i // f_in + P_lo, i % f_in, a, d] = 1.0
+    # Outer product of the two axes: T[ty,tx, cy,cx, ay,ax, dy,dx]
+    T = np.einsum("tcad,TCAD->tTcCaAdD", T1, T1)
+    wp = jnp.einsum("tTcCaAdD,dDio->tTcCiaAo",
+                    jnp.asarray(T, w.dtype), w)
     wp = wp.reshape(K, K, f_in * f_in * ci, f_out * f_out * co)
     return wp, S, (P_lo, P_hi)
 

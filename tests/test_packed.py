@@ -119,8 +119,8 @@ def test_resblock_packed_parity(np_rng, rng):
     from contrad_tpu.models.stylegan2.discriminator import ResBlock
 
     x = jnp.asarray(np_rng.normal(size=(2, 16, 16, 8)), jnp.float32)
-    block_u = ResBlock(16, packed=False)
-    block_p = ResBlock(16, packed=True)
+    block_u = ResBlock(16)
+    block_p = ResBlock(16, pack_in=2, pack_out=1)
     params = block_u.init(rng, x)
     # identical param trees
     assert (jax.tree_util.tree_structure(params)
