@@ -80,4 +80,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The tunneled TPU occasionally drops a remote-compile/execute RPC
+    # (observed: "read body: response body closed before all bytes were
+    # read"). One fresh retry is enough in practice; losing the round's
+    # bench artifact to a transient is not.
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 - retry any transient RPC failure
+        import sys
+        import time as _time
+
+        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
+              f"retrying once", file=sys.stderr)
+        _time.sleep(30)
+        main()

@@ -258,11 +258,13 @@ class GStylegan2(nn.Module):
     lr_mlp: float = 0.01
     small32: bool = False
     dtype: Any = jnp.float32  # synthesis compute dtype (style MLP stays f32)
-    # Space-to-depth packed top level (ops/packed.py): when the output level
-    # has <= 32 channels (512 with channel_multiplier 1.0), the last two
-    # StyleLayers, the final ToRGB and its skip-upsample run f=2 packed and
-    # the image is depth_to_space'd at the end. Identical function and
-    # param tree; lane-dense layouts on the shallowest (largest) tensors.
+    # Space-to-depth packed shallow levels (ops/packed.py): every synthesis
+    # level with <= 64 channels (256+ with channel_multiplier 1.0) runs its
+    # two StyleLayers, ToRGB and skip-upsample f=2 packed. Non-top packed
+    # levels unpack at their end (an upsample into a finer packed grid is
+    # not conv-expressible); the top level stays packed until the final
+    # image depth_to_space. Identical function and param tree; lane-dense
+    # layouts on the shallowest (largest) tensors.
     pack_top: bool = True
 
     @property
@@ -291,20 +293,23 @@ class GStylegan2(nn.Module):
         self.conv1 = StyleLayer(channels[4], 3, blur_kernel=self.blur_kernel)
         self.to_rgb1 = ToRGB(upsample=False)
 
-        self._packed_top = self.pack_top and channels[self.size] <= 32
+        self._packed_levels = frozenset(
+            i for i in range(3, self.log_size + 1)
+            if self.pack_top and channels[2**i] <= 64)
+        self._packed_top = self.log_size in self._packed_levels
         layers = []
         to_rgbs = []
         in_ch = channels[4]
         for i in range(3, self.log_size + 1):
             out_ch = channels[2**i]
-            top = self._packed_top and i == self.log_size
+            packed = i in self._packed_levels
             layers.append(StyleLayer(out_ch, 3, upsample=True,
                                      blur_kernel=self.blur_kernel,
-                                     pack=(1, 2) if top else (1, 1)))
+                                     pack=(1, 2) if packed else (1, 1)))
             layers.append(StyleLayer(out_ch, 3, blur_kernel=self.blur_kernel,
-                                     pack=(2, 2) if top else (1, 1)))
+                                     pack=(2, 2) if packed else (1, 1)))
             to_rgbs.append(ToRGB(blur_kernel=self.blur_kernel,
-                                 pack=2 if top else 1))
+                                 pack=2 if packed else 1))
             in_ch = out_ch
         self.layers = layers
         self.to_rgbs = to_rgbs
@@ -359,6 +364,8 @@ class GStylegan2(nn.Module):
         out = self.conv1(out, latents[:, 0], noise=noise[0])
         skip = self.to_rgb1(out, latents[:, 1])
 
+        from contrad_tpu.ops.packed import depth_to_space
+
         idx = 1
         for i, to_rgb in enumerate(self.to_rgbs):
             out = self.layers[2 * i](out, latents[:, idx], noise=noise[1 + 2 * i])
@@ -366,10 +373,13 @@ class GStylegan2(nn.Module):
                                          noise=noise[2 + 2 * i])
             skip = to_rgb(out, latents[:, idx + 2], skip)
             idx += 2
+            # non-top packed levels unpack at the boundary: the next level's
+            # upsample into a finer packed grid is not conv-expressible
+            if i + 3 in self._packed_levels and i + 3 != self.log_size:
+                out = depth_to_space(out, 2)
+                skip = depth_to_space(skip, 2)
 
         if self._packed_top:
-            from contrad_tpu.ops.packed import depth_to_space
-
             skip = depth_to_space(skip, 2)
         image = 0.5 * skip.astype(jnp.float32) + 0.5
         if not train:

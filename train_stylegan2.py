@@ -209,28 +209,37 @@ def main():
     logger.log(f"Use G moving average: {accum}")
     logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
 
+    # On resume, restart the data stream at the epoch training left off
+    # (deterministic seeded reshuffles make this reproducible; the reference
+    # relies on DistributedSampler.set_epoch the same way, utils.py:89-96).
+    start_epoch = ((starting_step - 1) * opt.batch_size * opt.n_critic
+                   // len(train_set))
     if world > 1:
         # Per-process feeding: identical global permutation everywhere, each
         # process assembles only its devices' rows (reference equivalent:
         # DistributedSampler, train_gan.py:245-251).
         loader = PrefetchIterator(
             BatchIterator(train_set, opt.batch_size * opt.n_critic,
-                          seed=P.seed, shard=(rank, world)),
+                          seed=P.seed, shard=(rank, world),
+                          start_epoch=start_epoch),
             place_fn=trainer.place_batch)
     elif train_set.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
         # whole dataset staged to HBM; only index vectors cross the host link
         loader = DeviceBatchIterator(train_set, opt.batch_size * opt.n_critic,
-                                     mesh, seed=P.seed)
+                                     mesh, seed=P.seed,
+                                     start_epoch=start_epoch)
     elif (n_dev > 1 and train_set.images.nbytes
           <= DeviceBatchIterator.MAX_BYTES * n_dev):
         # too big to replicate, fits sharded: 1/N of the dataset per device,
         # local on-device gathers + epoch-boundary ring rotation over ICI
         from contrad_tpu.data.core import ShardedDeviceBatchIterator
         loader = ShardedDeviceBatchIterator(
-            train_set, opt.batch_size * opt.n_critic, mesh, seed=P.seed)
+            train_set, opt.batch_size * opt.n_critic, mesh, seed=P.seed,
+            start_epoch=start_epoch)
     else:
         loader = PrefetchIterator(
-            BatchIterator(train_set, opt.batch_size * opt.n_critic, seed=P.seed),
+            BatchIterator(train_set, opt.batch_size * opt.n_critic,
+                          seed=P.seed, start_epoch=start_epoch),
             place_fn=trainer.place_batch)
 
     eval_seed = int(np.random.randint(10000))
