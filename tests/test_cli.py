@@ -56,3 +56,61 @@ def test_train_gan_cli_end_to_end(tmp_path):
     assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
     assert "Checkpoint loaded" in r2.stdout and "(step 3)" in r2.stdout
     assert "Steps       5" in r2.stdout
+
+
+def test_eval_clis_end_to_end(tmp_path):
+    """The full eval CLI chain off a trained logdir: sample generation ->
+    stats precompute -> FID/IS scoring (reference test_tf_inception.py CLI
+    surface) -> linear eval -> cDDLS conditional sampling. Converts the
+    manual verify drive into CI; every CLI a reference user would reach for
+    is exercised in-subprocess."""
+    import glob
+
+    logroot = str(tmp_path / "logs")
+    r = _run([
+        "train_gan.py", "configs/gan/cifar10/c10_smoke.toml", "sndcgan",
+        "--mode", "std", "--platform", "cpu", "--print_every", "1",
+        "--evaluate_every", "2", "--no_gif", "--no_fid", "--seed", "7",
+        "--logdir_root", logroot,
+        "--override", "options.max_steps=2", "options.batch_size=8",
+    ])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    logdir = next(d for d, _, fs in os.walk(logroot) if "log.txt" in fs)
+
+    # 1. random sampling CLI (reference test_gan_sample.py)
+    r = _run(["test_gan_sample.py", logdir, "sndcgan", "--n_samples", "8",
+              "--batch_size", "4", "--platform", "cpu"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    sample_dirs = glob.glob(os.path.join(logdir, "samples_*"))
+    assert sample_dirs
+    pngs = glob.glob(os.path.join(sample_dirs[0], "*.png"))
+    assert len(pngs) == 8
+
+    # 2. stats precompute + FID/IS CLI against itself => FID ~ 0
+    stats = str(tmp_path / "stats.npz")
+    r = _run(["tools/precalc_stats.py", "--images", sample_dirs[0],
+              "--embed", "moments", "--out", stats])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    r = _run(["test_tf_inception.py", sample_dirs[0], stats,
+              "--embed", "moments", "--batch_size", "8"])
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    fid_line = [ln for ln in r.stdout.splitlines() if ln.startswith("FID:")]
+    assert fid_line and abs(float(fid_line[0].split()[1])) < 1e-3
+    assert os.path.exists(os.path.join(logdir, "fid.log"))
+
+    # 3. linear evaluation CLI (reference test_lineval.py)
+    r = _run(["test_lineval.py", logdir, "sndcgan", "--epochs", "1",
+              "--batch_size", "32", "--platform", "cpu"], timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    lin = glob.glob(os.path.join(logdir, "lin_eval_*.npz"))
+    assert lin
+
+    # 4. conditional Langevin sampling CLI (reference test_gan_sample_cddls.py)
+    r = _run(["test_gan_sample_cddls.py", logdir, lin[0], "sndcgan",
+              "--n_steps", "2", "--n_samples", "4", "--n_classes", "2",
+              "--batch_size", "2", "--ckpt", "latest", "--platform", "cpu"],
+             timeout=900)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    cddls_pngs = glob.glob(os.path.join(logdir, "samples_cDDLS*", "**",
+                                        "*.png"), recursive=True)
+    assert len(cddls_pngs) == 4  # n_samples total, split across n_classes
