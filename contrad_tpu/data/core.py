@@ -261,8 +261,11 @@ class DeviceBatchIterator:
     Epoch semantics identical to BatchIterator (seeded reshuffle, drop-last).
     """
 
-    # stage datasets up to this size; larger ones stream via BatchIterator
-    MAX_BYTES = 768 * 1024 * 1024
+    # Stage datasets up to this size; larger ones go sharded (1/N per chip,
+    # ShardedDeviceBatchIterator) or stream via BatchIterator. 2 GB leaves
+    # >= 13 GB of a v5e's HBM for params/optimizer/activations — validated
+    # by the 512^2 b8 ContraD demo (peak live activations ~4 GB).
+    MAX_BYTES = 2 * 1024 * 1024 * 1024
 
     def __init__(self, dataset: ArrayDataset, batch_size: int, mesh,
                  seed: int = 0, start_epoch: int = 0):

@@ -64,6 +64,9 @@ def parse_args():
                    help="Path to logdir with a pre-trained D checkpoint")
 
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="model compute dtype (params stay f32; bf16 is the "
+                        "TPU mixed-precision path)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                    help="cpu forces the host platform (debug/smoke)")
     p.add_argument("--override", nargs="*", default=[],
@@ -132,8 +135,11 @@ def main():
         P.no_fid = P.no_gif = True
 
     n_classes = train_set.n_classes if P.conditional else 1
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if P.dtype == "bf16" else jnp.float32
     generator, discriminator = get_architecture(P.architecture, image_size,
-                                                n_classes=n_classes)
+                                                n_classes=n_classes,
+                                                dtype=dtype)
     g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
                                  use_warmup=P.use_warmup)
     d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,

@@ -70,6 +70,9 @@ def parse_args():
     p.add_argument("--finetune", default=None, type=str)
 
     p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                   help="model compute dtype (params stay f32; bf16 is the "
+                        "TPU mixed-precision path)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--logdir_root", default="logs", type=str)
@@ -139,7 +142,10 @@ def main():
               f"({world} processes); evaluate offline from checkpoints")
         P.no_fid = P.no_gif = True
 
-    generator, discriminator = get_architecture(P.architecture, image_size)
+    import jax.numpy as jnp
+    dtype = jnp.bfloat16 if P.dtype == "bf16" else jnp.float32
+    generator, discriminator = get_architecture(P.architecture, image_size,
+                                                dtype=dtype)
 
     # LR schedule: warmup * stepped half-life decay (reference
     # train_stylegan2.py:93-103; see module docstring for the deviation).
