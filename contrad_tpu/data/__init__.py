@@ -22,7 +22,13 @@ from __future__ import annotations
 import os
 from typing import Optional, Tuple
 
-from contrad_tpu.data.core import ArrayDataset, BatchIterator
+from contrad_tpu.data.core import (
+    ArrayDataset,
+    BatchIterator,
+    DeviceBatchIterator,
+    PrefetchIterator,
+    ShardedDeviceBatchIterator,
+)
 from contrad_tpu.data.cifar import load_cifar10, load_cifar100
 from contrad_tpu.data.folder import load_image_folder
 from contrad_tpu.data.synthetic import synthetic_dataset
@@ -100,6 +106,9 @@ def get_dataset_ref(dataset: str, data_path: Optional[str] = None) -> ArrayDatas
 __all__ = [
     "ArrayDataset",
     "BatchIterator",
+    "DeviceBatchIterator",
+    "PrefetchIterator",
+    "ShardedDeviceBatchIterator",
     "get_dataset",
     "get_dataset_ref",
     "synthetic_dataset",
