@@ -28,6 +28,7 @@ from contrad_tpu.data.core import (
     DeviceBatchIterator,
     PrefetchIterator,
     ShardedDeviceBatchIterator,
+    make_train_loader,
 )
 from contrad_tpu.data.cifar import load_cifar10, load_cifar100
 from contrad_tpu.data.folder import load_image_folder
@@ -109,6 +110,7 @@ __all__ = [
     "DeviceBatchIterator",
     "PrefetchIterator",
     "ShardedDeviceBatchIterator",
+    "make_train_loader",
     "get_dataset",
     "get_dataset_ref",
     "synthetic_dataset",

@@ -68,7 +68,8 @@ class BatchIterator:
             rank, world = shard
             if batch_size % world:
                 raise ValueError(
-                    f"global batch {batch_size} must divide process count {world}")
+                    f"global batch {batch_size} must be divisible by the "
+                    f"process count {world}")
             if not 0 <= rank < world:
                 raise ValueError(f"bad shard {shard}")
 
@@ -164,8 +165,6 @@ class ShardedDeviceBatchIterator:
 
     def __init__(self, dataset: ArrayDataset, batch_size: int, mesh,
                  seed: int = 0, start_epoch: int = 0):
-        import functools
-
         import jax
         import jax.numpy as jnp
         from jax.sharding import PartitionSpec as Pspec
@@ -175,8 +174,8 @@ class ShardedDeviceBatchIterator:
 
         self.n_dev = int(mesh.devices.size)
         if batch_size % self.n_dev:
-            raise ValueError(f"global batch {batch_size} must divide the "
-                             f"device count {self.n_dev}")
+            raise ValueError(f"global batch {batch_size} must be divisible "
+                             f"by the device count {self.n_dev}")
         self.batch_size = batch_size
         self.local_batch = batch_size // self.n_dev
         n = len(dataset) - len(dataset) % self.n_dev
@@ -299,3 +298,44 @@ class DeviceBatchIterator:
         idx = it._order[it._pos : it._pos + it.batch_size]
         it._pos += it.batch_size
         return self._gather(self._images, idx), self._labels[idx]
+
+
+def make_train_loader(dataset: ArrayDataset, global_batch: int, mesh,
+                      place_fn, seed: int = 0, starting_step: int = 1,
+                      shard: Optional[Tuple[int, int]] = None):
+    """Pick the fastest data path for a training run (shared by both train
+    CLIs; replaces the reference's DataLoader + DistributedSampler wiring,
+    ``/root/reference/train_gan.py:245-251``):
+
+      * multi-host (``shard=(rank, world)``): per-process host feeding of the
+        identically-seeded global permutation, prefetched;
+      * fits one chip's budget: replicated device-resident dataset with
+        on-device gathers (:class:`DeviceBatchIterator`);
+      * fits the mesh sharded: 1/N per device + epoch ring rotation
+        (:class:`ShardedDeviceBatchIterator`);
+      * else: prefetched host streaming.
+
+    On resume the stream restarts at the epoch training left off
+    (drop-last aware: steps_per_epoch = len(dataset) // global_batch;
+    deterministic seeded reshuffles make this reproducible — the reference
+    relies on DistributedSampler.set_epoch the same way, utils.py:89-96).
+    """
+    steps_per_epoch = max(1, len(dataset) // global_batch)
+    start_epoch = (starting_step - 1) // steps_per_epoch
+    n_dev = int(mesh.devices.size)
+    if shard is not None and shard[1] > 1:
+        return PrefetchIterator(
+            BatchIterator(dataset, global_batch, seed=seed, shard=shard,
+                          start_epoch=start_epoch),
+            place_fn=place_fn)
+    if dataset.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
+        return DeviceBatchIterator(dataset, global_batch, mesh, seed=seed,
+                                   start_epoch=start_epoch)
+    if n_dev > 1 and (dataset.images.nbytes
+                      <= DeviceBatchIterator.MAX_BYTES * n_dev):
+        return ShardedDeviceBatchIterator(dataset, global_batch, mesh,
+                                          seed=seed, start_epoch=start_epoch)
+    return PrefetchIterator(
+        BatchIterator(dataset, global_batch, seed=seed,
+                      start_epoch=start_epoch),
+        place_fn=place_fn)

@@ -99,7 +99,7 @@ def _std_loss_D(ctx, d_params, d_state, images, gen_images, rng,
         ctx.penalty, d_apply=ctx.d_apply, d_params=d_params, d_state=d_state,
         images=images, gen_images=gen_images, all_images=all_images,
         d_real=d_real, d_gen=d_gen, augment_fn=ctx.augment_fn, rng=rng,
-        lbd=ctx.lbd, lbd2=ctx.lbd2)
+        lbd=ctx.lbd, lbd2=ctx.lbd2, y_real=y_real, y_gen=y_gen)
     return d_loss + penalty, (_metrics(d_loss, penalty, d_real, d_gen), new_state)
 
 
@@ -124,7 +124,7 @@ def _aug_loss_D(ctx, d_params, d_state, images, gen_images, rng,
         ctx.penalty, d_apply=ctx.d_apply, d_params=d_params, d_state=d_state,
         images=images, gen_images=gen_images, all_images=all_images,
         d_real=d_real, d_gen=d_gen, augment_fn=ctx.augment_fn, rng=rng_pen,
-        lbd=ctx.lbd, lbd2=ctx.lbd2)
+        lbd=ctx.lbd, lbd2=ctx.lbd2, y_real=y_real, y_gen=y_gen)
     return d_loss + penalty, (_metrics(d_loss, penalty, d_real, d_gen), new_state)
 
 
@@ -147,7 +147,7 @@ def _aug_both_loss_D(ctx, d_params, d_state, images, gen_images, rng,
         ctx.penalty, d_apply=ctx.d_apply, d_params=d_params, d_state=d_state,
         images=images, gen_images=gen_images, all_images=all_images,
         d_real=d_real, d_gen=d_gen, augment_fn=ctx.augment_fn, rng=rng_pen,
-        lbd=ctx.lbd, lbd2=ctx.lbd2)
+        lbd=ctx.lbd, lbd2=ctx.lbd2, y_real=y_real, y_gen=y_gen)
     return d_loss + penalty, (_metrics(d_loss, penalty, d_real, d_gen), new_state)
 
 

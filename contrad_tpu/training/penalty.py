@@ -22,7 +22,8 @@ import jax.numpy as jnp
 DApply = Callable  # (params, state, x, *, train, sg_linear, update_state) -> ((d, aux), new_state)
 
 
-def gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd):
+def gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd,
+                     y=None):
     n = images.shape[0]
     alpha = jax.random.uniform(rng, (n,) + (1,) * (images.ndim - 1))
     interp = alpha * jax.lax.stop_gradient(images) + (1.0 - alpha) * jax.lax.stop_gradient(
@@ -30,7 +31,10 @@ def gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd):
     )
 
     def d_sum(x):
-        (d, _), _ = d_apply(d_params, d_state, x, train=True, update_state=False)
+        # conditional: score the interpolation under the REAL sample's label
+        # (the usual cWGAN-GP convention)
+        (d, _), _ = d_apply(d_params, d_state, x, y=y, train=True,
+                            update_state=False)
         return jnp.sum(d)
 
     grads = jax.grad(d_sum)(interp)  # per-sample grads since D outputs are per-sample
@@ -39,18 +43,22 @@ def gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd):
     return lbd * jnp.mean((norms - 1.0) ** 2)
 
 
-def consistency(d_apply, d_params, d_state, images, d_real, augment_fn, rng, lbd):
+def consistency(d_apply, d_params, d_state, images, d_real, augment_fn, rng,
+                lbd, y=None):
     (d_aug, _), _ = d_apply(
-        d_params, d_state, augment_fn(rng, images), train=True, update_state=False
+        d_params, d_state, augment_fn(rng, images), y=y, train=True,
+        update_state=False
     )
     return lbd * jnp.mean((d_real - d_aug) ** 2)
 
 
 def balanced_consistency(
-    d_apply, d_params, d_state, all_images, d_real, d_gen, augment_fn, rng, lbd, lbd2
+    d_apply, d_params, d_state, all_images, d_real, d_gen, augment_fn, rng,
+    lbd, lbd2, y_all=None
 ):
     (d_aug_all, _), _ = d_apply(
-        d_params, d_state, augment_fn(rng, all_images), train=True, update_state=False
+        d_params, d_state, augment_fn(rng, all_images), y=y_all, train=True,
+        update_state=False
     )
     n = all_images.shape[0] // 2
     d_aug_real, d_aug_gen = d_aug_all[:n], d_aug_all[n:]
@@ -74,15 +82,25 @@ def compute_penalty(
     rng,
     lbd: float,
     lbd2: float,
+    y_real=None,
+    y_gen=None,
 ):
+    """Conditional D: the penalty's extra D passes must score under the same
+    labels as the main pass, otherwise cr/bcr penalize the label-projection
+    term itself and gp regularizes the wrong scoring function."""
     if mode == "none":
         return jnp.zeros(())
     if mode == "gp":
-        return gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd)
+        return gradient_penalty(d_apply, d_params, d_state, images, gen_images,
+                                rng, lbd, y=y_real)
     if mode == "cr":
-        return consistency(d_apply, d_params, d_state, images, d_real, augment_fn, rng, lbd)
+        return consistency(d_apply, d_params, d_state, images, d_real,
+                           augment_fn, rng, lbd, y=y_real)
     if mode == "bcr":
+        y_all = (None if y_real is None and y_gen is None
+                 else jnp.concatenate([y_real, y_gen], axis=0))
         return balanced_consistency(
-            d_apply, d_params, d_state, all_images, d_real, d_gen, augment_fn, rng, lbd, lbd2
+            d_apply, d_params, d_state, all_images, d_real, d_gen, augment_fn,
+            rng, lbd, lbd2, y_all=y_all
         )
     raise NotImplementedError(f"unknown penalty: {mode}")

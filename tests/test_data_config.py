@@ -210,3 +210,46 @@ def test_sharded_device_batch_iterator_resume(devices):
     np.testing.assert_array_equal(live_labels, res_labels)
     np.testing.assert_array_equal(np.asarray(jax.device_get(live_imgs)),
                                   np.asarray(jax.device_get(res_imgs)))
+
+
+def test_make_train_loader_selection_and_resume_epoch(devices, monkeypatch):
+    """make_train_loader picks the right path per dataset size / world and
+    computes the resume epoch drop-last-aware (regression: the epoch was
+    derived from images-consumed // len(dataset), which drifts because epoch
+    remainders are dropped)."""
+    from contrad_tpu.data.core import (
+        DeviceBatchIterator,
+        PrefetchIterator,
+        ShardedDeviceBatchIterator,
+        make_train_loader,
+    )
+    from contrad_tpu.parallel.mesh import get_mesh
+
+    mesh = get_mesh(devices)
+    ds = ArrayDataset(np.zeros((100, 4, 4, 3), dtype=np.uint8))
+
+    # 100 imgs, batch 24 -> 4 steps/epoch (drop-last). After 12 steps training
+    # is entering epoch 3; the consumed-images formula would say epoch 2.
+    loader = make_train_loader(ds, 24, mesh, place_fn=None, seed=0,
+                               starting_step=13)
+    assert isinstance(loader, DeviceBatchIterator)
+    assert loader._indices.epoch == 3
+
+    # multihost shard -> prefetched host path with the same epoch math
+    loader = make_train_loader(ds, 24, mesh, place_fn=lambda x: x, seed=0,
+                               starting_step=13, shard=(1, 4))
+    assert isinstance(loader, PrefetchIterator)
+    assert loader._it.epoch == 3
+    loader.close()
+
+    # too big to replicate but fits sharded -> ShardedDeviceBatchIterator
+    monkeypatch.setattr(DeviceBatchIterator, "MAX_BYTES", 2048)
+    big = ArrayDataset(np.zeros((64, 8, 8, 3), dtype=np.uint8))  # 12 KB
+    loader = make_train_loader(big, 16, mesh, place_fn=None, seed=0)
+    assert isinstance(loader, ShardedDeviceBatchIterator)
+
+    # too big even sharded -> host streaming
+    monkeypatch.setattr(DeviceBatchIterator, "MAX_BYTES", 128)
+    loader = make_train_loader(big, 16, mesh, place_fn=lambda x: x, seed=0)
+    assert isinstance(loader, PrefetchIterator)
+    loader.close()

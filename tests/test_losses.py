@@ -109,3 +109,41 @@ def test_nt_xent_gradient_flows(np_rng):
     b = jnp.asarray(np_rng.normal(size=(4, 8)).astype(np.float32))
     g = jax.grad(lambda x: nt_xent(x, b, temperature=0.1))(a)
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_conditional_penalties_score_under_labels(np_rng, rng):
+    """cr/bcr/gp penalties must call D with the same labels as the main pass
+    (regression: labels were dropped, so cr penalized the label-projection
+    term itself — nonzero even for an identity augmentation)."""
+    from contrad_tpu.training.penalty import compute_penalty
+
+    def d_apply(params, state, x, y=None, train=True, update_state=False):
+        d = x.reshape(x.shape[0], -1).sum(axis=1)
+        if y is not None:
+            d = d + 10.0 * y.astype(d.dtype)  # label-projection stand-in
+        return (d, None), state
+
+    n = 4
+    images = jnp.asarray(np_rng.uniform(size=(n, 2, 2, 1)), jnp.float32)
+    gen = jnp.asarray(np_rng.uniform(size=(n, 2, 2, 1)), jnp.float32)
+    y_real = jnp.arange(n)
+    y_gen = jnp.arange(n)[::-1]
+    (d_real, _), _ = d_apply(None, None, images, y=y_real)
+    (d_gen, _), _ = d_apply(None, None, gen, y=y_gen)
+    identity = lambda r, x: x
+
+    common = dict(d_apply=d_apply, d_params=None, d_state=None, images=images,
+                  gen_images=gen,
+                  all_images=jnp.concatenate([images, gen], axis=0),
+                  d_real=d_real, d_gen=d_gen, augment_fn=identity, rng=rng,
+                  lbd=10.0, lbd2=10.0, y_real=y_real, y_gen=y_gen)
+
+    # identity augmentation + matching labels => exact consistency
+    assert float(compute_penalty("cr", **common)) == 0.0
+    assert float(compute_penalty("bcr", **common)) == 0.0
+    # gp runs with labels threaded (additive label term has zero input-grad,
+    # so the value matches the unconditional one)
+    gp_cond = float(compute_penalty("gp", **common))
+    gp_uncond = float(compute_penalty(
+        "gp", **{**common, "y_real": None, "y_gen": None}))
+    np.testing.assert_allclose(gp_cond, gp_uncond, rtol=1e-6)

@@ -100,8 +100,8 @@ def main():
 
     from contrad_tpu.augment import get_augment
     from contrad_tpu.config import default_config_files, finalize_options, load_config
-    from contrad_tpu.data import BatchIterator, get_dataset
-    from contrad_tpu.data.core import DeviceBatchIterator, PrefetchIterator
+    from contrad_tpu.data import get_dataset
+    from contrad_tpu.data.core import make_train_loader
     from contrad_tpu.evaluate import FixedSampleGeneration, ImageGrid, to_uint8
     from contrad_tpu.models import get_architecture
     from contrad_tpu.parallel import get_mesh
@@ -134,8 +134,11 @@ def main():
               f"({world} processes); evaluate offline from checkpoints")
         P.no_fid = P.no_gif = True
 
+    if P.conditional and train_set.n_classes <= 1:
+        raise ValueError(
+            f"--conditional requires a labeled dataset; '{opt.dataset}' "
+            f"reports n_classes={train_set.n_classes}")
     n_classes = train_set.n_classes if P.conditional else 1
-    import jax.numpy as jnp
     dtype = jnp.bfloat16 if P.dtype == "bf16" else jnp.float32
     generator, discriminator = get_architecture(P.architecture, image_size,
                                                 n_classes=n_classes,
@@ -197,38 +200,10 @@ def main():
     logger.log(str(opt.to_dict()))
     logger.log(f"devices: {n_dev} x {mesh.devices.ravel()[0].platform}")
 
-    # On resume, restart the data stream at the epoch training left off
-    # (deterministic seeded reshuffles make this reproducible; the reference
-    # relies on DistributedSampler.set_epoch the same way, utils.py:89-96).
-    start_epoch = ((starting_step - 1) * opt.batch_size * opt.n_critic
-                   // len(train_set))
-    if world > 1:
-        # Per-process feeding: identical global permutation everywhere, each
-        # process assembles only its devices' rows (reference equivalent:
-        # DistributedSampler, train_gan.py:245-251).
-        loader = PrefetchIterator(
-            BatchIterator(train_set, opt.batch_size * opt.n_critic,
-                          seed=P.seed, shard=(rank, world),
-                          start_epoch=start_epoch),
-            place_fn=trainer.place_batch)
-    elif train_set.images.nbytes <= DeviceBatchIterator.MAX_BYTES:
-        # whole dataset staged to HBM; only index vectors cross the host link
-        loader = DeviceBatchIterator(train_set, opt.batch_size * opt.n_critic,
-                                     mesh, seed=P.seed,
-                                     start_epoch=start_epoch)
-    elif (n_dev > 1 and train_set.images.nbytes
-          <= DeviceBatchIterator.MAX_BYTES * n_dev):
-        # too big to replicate, fits sharded: 1/N of the dataset per device,
-        # local on-device gathers + epoch-boundary ring rotation over ICI
-        from contrad_tpu.data.core import ShardedDeviceBatchIterator
-        loader = ShardedDeviceBatchIterator(
-            train_set, opt.batch_size * opt.n_critic, mesh, seed=P.seed,
-            start_epoch=start_epoch)
-    else:
-        loader = PrefetchIterator(
-            BatchIterator(train_set, opt.batch_size * opt.n_critic,
-                          seed=P.seed, start_epoch=start_epoch),
-            place_fn=trainer.place_batch)
+    loader = make_train_loader(
+        train_set, opt.batch_size * opt.n_critic, mesh,
+        place_fn=trainer.place_batch, seed=P.seed,
+        starting_step=starting_step, shard=(rank, world))
 
     # Evaluation helpers
     eval_seed = int(np.random.randint(10000))
