@@ -83,14 +83,26 @@ if __name__ == "__main__":
     # The tunneled TPU occasionally drops a remote-compile/execute RPC
     # (observed: "read body: response body closed before all bytes were
     # read"). One fresh retry is enough in practice; losing the round's
-    # bench artifact to a transient is not.
+    # bench artifact to a transient is not.  Deterministic failures
+    # (assertions, config bugs) re-raise immediately — retrying those only
+    # doubles side effects and delays the real traceback.
+    _TRANSIENT_MARKERS = (
+        "response body closed",
+        "DEADLINE_EXCEEDED",
+        "UNAVAILABLE",
+        "Connection reset",
+        "socket closed",
+    )
     try:
         main()
-    except Exception as e:  # noqa: BLE001 - retry any transient RPC failure
+    except Exception as e:  # noqa: BLE001 - inspect, retry only transients
         import sys
         import time as _time
 
-        print(f"bench attempt 1 failed ({type(e).__name__}: {e}); "
+        msg = f"{type(e).__name__}: {e}"
+        if not any(m.lower() in msg.lower() for m in _TRANSIENT_MARKERS):
+            raise
+        print(f"bench attempt 1 hit transient tunnel error ({msg}); "
               f"retrying once", file=sys.stderr)
         _time.sleep(30)
         main()

@@ -215,7 +215,10 @@ class ShardedDeviceBatchIterator:
 
         self._local_orders = None
         self._pos = 0
-        for _ in range(start_epoch):  # replay rotations for resume parity
+        # Replay ring rotations for resume parity.  The rotation permutation
+        # has period n_dev, so start_epoch % n_dev rotations reach the
+        # identical placement at O(n_dev) cost instead of O(start_epoch).
+        for _ in range(start_epoch % self.n_dev):
             self._images = self._rotate(self._images)
 
     def _chunk_of(self, device: int) -> int:

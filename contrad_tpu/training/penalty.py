@@ -97,8 +97,14 @@ def compute_penalty(
         return consistency(d_apply, d_params, d_state, images, d_real,
                            augment_fn, rng, lbd, y=y_real)
     if mode == "bcr":
-        y_all = (None if y_real is None and y_gen is None
-                 else jnp.concatenate([y_real, y_gen], axis=0))
+        # Labels are all-or-nothing: a mixed call (exactly one of y_real /
+        # y_gen None) has no sensible conditional-scoring semantics.
+        if y_real is None or y_gen is None:
+            assert y_real is None and y_gen is None, (
+                "bcr penalty needs both y_real and y_gen, or neither")
+            y_all = None
+        else:
+            y_all = jnp.concatenate([y_real, y_gen], axis=0)
         return balanced_consistency(
             d_apply, d_params, d_state, all_images, d_real, d_gen, augment_fn,
             rng, lbd, lbd2, y_all=y_all

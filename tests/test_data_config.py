@@ -212,6 +212,34 @@ def test_sharded_device_batch_iterator_resume(devices):
                                   np.asarray(jax.device_get(res_imgs)))
 
 
+def test_sharded_iterator_resume_rotation_period(devices):
+    """The ring rotation has period n_dev, so resuming at epoch n_dev + k
+    must produce the same device placement (and batches) as resuming at k —
+    and do so with O(n_dev) startup rotations, not O(start_epoch)."""
+    import jax
+
+    from contrad_tpu.data.core import ShardedDeviceBatchIterator
+    from contrad_tpu.parallel.mesh import get_mesh
+
+    n = 32
+    images = np.zeros((n, 2, 2, 3), dtype=np.uint8)
+    images[:, 0, 0, 0] = np.arange(n)
+    ds = ArrayDataset(images, np.arange(n))
+    mesh = get_mesh(devices)
+    n_dev = int(mesh.devices.size)
+
+    it_k = ShardedDeviceBatchIterator(ds, batch_size=8, mesh=mesh, seed=3,
+                                      start_epoch=2)
+    it_far = ShardedDeviceBatchIterator(ds, batch_size=8, mesh=mesh, seed=3,
+                                        start_epoch=2 + 5 * n_dev)
+    assert it_far._chunk_of(0) == it_k._chunk_of(0)
+    far_imgs, _ = next(it_far)
+    # placement parity: both iterators hold identical device-side shards
+    np.testing.assert_array_equal(np.asarray(jax.device_get(it_k._images)),
+                                  np.asarray(jax.device_get(it_far._images)))
+    assert far_imgs.shape == (8, 2, 2, 3)
+
+
 def test_make_train_loader_selection_and_resume_epoch(devices, monkeypatch):
     """make_train_loader picks the right path per dataset size / world and
     computes the resume epoch drop-last-aware (regression: the epoch was

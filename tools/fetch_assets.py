@@ -31,19 +31,35 @@ CIFAR100_MD5 = "eb9058c3a382ffc7106e4002c42a8d85"
 INCEPTION_URL = ("https://github.com/mseitzer/pytorch-fid/releases/download/"
                  "fid_weights/pt_inception-2015-12-05-6726825d.pth")
 INCEPTION_NAME = "pt_inception-2015-12-05-6726825d.pth"
+# pytorch-fid names its release file with the leading 8 hex chars of the
+# file's sha256 (the "-6726825d" fragment); verify against that prefix.
+INCEPTION_SHA256_PREFIX = "6726825d"
 
 
-def _md5(path: str) -> str:
-    h = hashlib.md5()
+def _digest(path: str, algo: str) -> str:
+    h = hashlib.new(algo)
     with open(path, "rb") as f:
         for chunk in iter(lambda: f.read(1 << 20), b""):
             h.update(chunk)
     return h.hexdigest()
 
 
-def fetch(url: str, dest: str, md5: str = None) -> None:
+def _md5(path: str) -> str:
+    return _digest(path, "md5")
+
+
+def _checks_out(path: str, md5: str, sha256_prefix: str) -> bool:
+    if md5 is not None:
+        return _digest(path, "md5") == md5
+    if sha256_prefix is not None:
+        return _digest(path, "sha256").startswith(sha256_prefix)
+    return True
+
+
+def fetch(url: str, dest: str, md5: str = None,
+          sha256_prefix: str = None) -> None:
     if os.path.exists(dest):
-        if md5 is None or _md5(dest) == md5:
+        if _checks_out(dest, md5, sha256_prefix):
             print(f"  ok (cached): {dest}")
             return
         print(f"  checksum mismatch, re-downloading: {dest}")
@@ -57,8 +73,8 @@ def fetch(url: str, dest: str, md5: str = None) -> None:
 
     urllib.request.urlretrieve(url, dest + ".part", reporthook=hook)
     print()
-    if md5 is not None and _md5(dest + ".part") != md5:
-        raise RuntimeError(f"MD5 mismatch for {url}")
+    if not _checks_out(dest + ".part", md5, sha256_prefix):
+        raise RuntimeError(f"checksum mismatch for {url}")
     os.replace(dest + ".part", dest)
     print(f"  ok: {dest}")
 
@@ -85,7 +101,8 @@ def main():
     default_weights = os.path.join(repo_root, "third_party", "fid",
                                    INCEPTION_NAME)
     fetch(INCEPTION_URL,
-          os.environ.get("INCEPTION_WEIGHTS", default_weights))
+          os.environ.get("INCEPTION_WEIGHTS", default_weights),
+          sha256_prefix=INCEPTION_SHA256_PREFIX)
 
     if args.afhq:
         print("""
