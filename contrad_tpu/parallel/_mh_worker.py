@@ -1,0 +1,140 @@
+"""Multi-host training worker for process-level SPMD certification.
+
+Runs a few real ContraD train steps as ONE process of an N-process
+``jax.distributed`` world (CPU Gloo collectives, 8 global virtual devices),
+through the exact multihost production path: ``init_distributed`` rendezvous,
+``make_train_loader(shard=(rank, world))`` per-process feeding,
+``place_global_batch`` global-array assembly, and a COLLECTIVE orbax
+checkpoint save. The reference's counterpart is a spawned NCCL DDP worker
+(``/root/reference/train_gan.py:230-251,328-332``).
+
+Invoked as a subprocess by ``tests/test_multihost_spawn.py`` and by
+``__graft_entry__.dryrun_multihost``:
+
+    python -m contrad_tpu.parallel._mh_worker \
+        --rank 0 --world 2 --port 12345 --devices_per_proc 4 \
+        --steps 4 --logdir /tmp/run --metrics_out /tmp/m0.json
+
+With ``--world 1`` it runs the identical recipe single-process (the loss
+parity oracle); the data stream then uses the same seeded ``BatchIterator``
+whose rank-slices are proven to tile the global batch
+(``tests/test_multihost.py::test_sharded_batches_tile_the_global_batch``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--rank", type=int, required=True)
+    p.add_argument("--world", type=int, required=True)
+    p.add_argument("--port", type=int, default=0,
+                   help="coordinator port (required when world > 1)")
+    p.add_argument("--devices_per_proc", type=int, default=4)
+    p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--logdir", type=str, default=None,
+                   help="save a collective orbax checkpoint here")
+    p.add_argument("--metrics_out", type=str, default=None,
+                   help="rank 0 writes per-step metrics JSON here")
+    p.add_argument("--aug", type=str, default="none")
+    args = p.parse_args(argv)
+
+    # Platform shaping must precede jax backend init.
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags
+            + f" --xla_force_host_platform_device_count={args.devices_per_proc}"
+        ).strip()
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    if args.world > 1:
+        os.environ["CONTRAD_COORDINATOR"] = f"127.0.0.1:{args.port}"
+        os.environ["CONTRAD_NUM_PROCESSES"] = str(args.world)
+        os.environ["CONTRAD_PROCESS_ID"] = str(args.rank)
+        from contrad_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
+        assert jax.process_count() == args.world, (
+            f"expected {args.world} processes, got {jax.process_count()}")
+
+    import numpy as np
+
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.data.core import (
+        BatchIterator, PrefetchIterator, make_train_loader)
+    from contrad_tpu.data.synthetic import synthetic_dataset
+    from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
+    from contrad_tpu.parallel.mesh import data_shard, get_mesh
+    from contrad_tpu.training import (
+        GANTrainer, create_train_state, make_optimizer)
+
+    rank, world = data_shard()
+    assert (rank, world) == (args.rank, args.world)
+
+    IMG = (16, 16, 3)
+    generator = GSndcgan(image_size=IMG, ngf=8, nz=16)
+    discriminator = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True,
+                             d_hidden=32)
+    g_opt = make_optimizer(2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(2e-4, (0.5, 0.999))
+    mesh = get_mesh()
+    n_global = int(mesh.devices.size)
+    assert n_global == args.devices_per_proc * args.world
+
+    trainer = GANTrainer(
+        generator, discriminator, mode="contrad", augment_fn=get_augment(args.aug),
+        g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+        temp=0.1, lbd_a=1.0, mesh=mesh)
+    state = trainer.place_state(create_train_state(
+        jax.random.PRNGKey(0), generator, discriminator, IMG, g_opt, d_opt))
+
+    dataset = synthetic_dataset(IMG, n=64, seed=0)
+    batch_size = 16
+    if world > 1:
+        loader = make_train_loader(dataset, batch_size, mesh,
+                                   place_fn=trainer.place_batch, seed=5,
+                                   shard=(rank, world))
+    else:
+        # Single-process parity oracle: the same seeded global stream the
+        # sharded iterators tile (make_train_loader would otherwise pick the
+        # device-resident path, which samples differently).
+        loader = PrefetchIterator(BatchIterator(dataset, batch_size, seed=5),
+                                  place_fn=trainer.place_batch)
+
+    history = []
+    for _ in range(args.steps):
+        batch, _labels = next(loader)
+        state, metrics = trainer.train_step(state, batch)
+        history.append({k: float(v) for k, v in metrics.items()})
+    jax.block_until_ready(state.g_params)
+    assert int(state.step) == args.steps
+
+    if args.logdir:
+        from contrad_tpu.utils import save_checkpoint
+
+        # Collective: every process participates in the orbax write.
+        save_checkpoint(args.logdir, state, "latest", blocking=True)
+
+    if args.metrics_out and rank == 0:
+        with open(args.metrics_out, "w") as f:
+            json.dump(history, f)
+
+    print(f"mh_worker rank {rank}/{world}: ok, "
+          f"{args.steps} steps, final D_loss={history[-1]['D_loss']:.5f}",
+          flush=True)
+    if world > 1:
+        jax.distributed.shutdown()
+
+
+if __name__ == "__main__":
+    main()
+    sys.exit(0)

@@ -54,6 +54,34 @@ def data_shard() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def init_distributed() -> None:
+    """``jax.distributed.initialize`` with explicit env-var overrides.
+
+    TPU pods / SLURM / k8s are auto-detected by jax's cluster environments;
+    plain CPU hosts (and the 2-process CPU certification test,
+    ``tests/test_multihost_spawn.py``) are not, so the rendezvous can be
+    given explicitly via::
+
+        CONTRAD_COORDINATOR=host:port  CONTRAD_NUM_PROCESSES=N
+        CONTRAD_PROCESS_ID=i
+
+    Replaces the reference's NCCL TCP rendezvous
+    (``/root/reference/train_gan.py:239-242``: ``dist.init_process_group(
+    'nccl', init_method='tcp://127.0.0.1:<port>', rank, world_size)``).
+    """
+    import os
+
+    kwargs = {}
+    coordinator = os.environ.get("CONTRAD_COORDINATOR")
+    if coordinator:
+        kwargs = dict(
+            coordinator_address=coordinator,
+            num_processes=int(os.environ["CONTRAD_NUM_PROCESSES"]),
+            process_id=int(os.environ["CONTRAD_PROCESS_ID"]),
+        )
+    jax.distributed.initialize(**kwargs)
+
+
 def place_global_batch(local, mesh: Mesh):
     """Assemble the global batch-sharded array from this process's local rows.
 

@@ -21,7 +21,11 @@ import numpy as np
 class Logger:
     def __init__(self, fn: Optional[str], subdir: Optional[str] = None,
                  resume: Optional[str] = None, root: str = "logs",
-                 rand: Optional[int] = None):
+                 rand: Optional[int] = None, mute: bool = False):
+        """``mute=True`` resolves the logdir but writes nothing — multihost
+        non-zero ranks use it so only process 0 logs (reference rank gating:
+        ``train_gan.py:184-225``) while every rank still knows the shared
+        logdir for collective checkpoint writes."""
         if resume:
             logdir = resume
             if not os.path.isdir(logdir):
@@ -34,12 +38,17 @@ class Logger:
             logdir = os.path.join(root, subdir, fn or "run", str(rand))
             os.makedirs(logdir, exist_ok=True)
         self.logdir = logdir
+        self.mute = mute
         self._writer = None
-        self.log_file = open(os.path.join(logdir, "log.txt"), "a")
+        self.log_file = (None if mute
+                         else open(os.path.join(logdir, "log.txt"), "a"))
 
     @property
     def writer(self):
         if self._writer is None:
+            if self.mute:
+                self._writer = False
+                return self._writer
             try:
                 from tensorboardX import SummaryWriter
 
@@ -49,6 +58,8 @@ class Logger:
         return self._writer
 
     def log(self, string):
+        if self.mute:
+            return
         line = f"[{datetime.now()}] {string}"
         self.log_file.write(line + "\n")
         self.log_file.flush()
@@ -56,6 +67,8 @@ class Logger:
         sys.stdout.flush()
 
     def log_dirname(self, string):
+        if self.mute:
+            return
         line = f"{string} ({self.logdir})"
         self.log_file.write(line + "\n")
         self.log_file.flush()
@@ -63,6 +76,8 @@ class Logger:
         sys.stdout.flush()
 
     def scalar_summary(self, tag: str, value, step: int):
+        if self.mute:
+            return
         value = float(value)
         if self.writer:
             self.writer.add_scalar(tag, value, step)
@@ -70,13 +85,16 @@ class Logger:
             f.write(json.dumps({"tag": tag, "value": value, "step": int(step)}) + "\n")
 
     def image_summary(self, tag: str, image, step: int):
+        if self.mute:
+            return
         if self.writer:
             self.writer.add_image(tag, image, step, dataformats="HWC")
 
     def close(self):
         if self._writer:
             self._writer.close()
-        self.log_file.close()
+        if self.log_file is not None:
+            self.log_file.close()
 
 
 def append_csv(path: str, header, row):

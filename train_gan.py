@@ -84,16 +84,19 @@ def parse_args():
 def main():
     P = parse_args()
     if P.platform == "cpu":
-        os.environ.setdefault(
-            "XLA_FLAGS",
-            os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8")
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
 
     import jax  # deferred so --platform can set env first
 
     if P.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
     if P.multihost:
-        jax.distributed.initialize()
+        from contrad_tpu.parallel.mesh import init_distributed
+
+        init_distributed()
 
     import imageio
     import jax.numpy as jnp
@@ -168,15 +171,19 @@ def main():
     comment = f"_{P.comment}" if P.comment else ""
     gin_stem = Path(P.config).stem
     if P.resume:
-        logger = Logger(None, resume=P.resume, root=P.logdir_root)
+        logger = Logger(None, resume=P.resume, root=P.logdir_root,
+                        mute=rank != 0)
     else:
         # Multihost: every process must resolve the SAME logdir (orbax writes
-        # the sharded checkpoint collectively), so pin the random suffix.
+        # the sharded checkpoint collectively), so pin the random suffix;
+        # only rank 0 writes logs (reference train_gan.py:184-225).
         logger = Logger(f"{filename}{comment}",
                         subdir=f"gan/{gin_stem}/{P.architecture}",
                         root=P.logdir_root,
-                        rand=P.seed if world > 1 else None)
-        shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
+                        rand=P.seed if world > 1 else None,
+                        mute=rank != 0)
+        if rank == 0:
+            shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
 
     if P.resume and has_checkpoint(P.resume):
         state = restore_checkpoint(P.resume, state)
