@@ -203,3 +203,17 @@ class FIDScore:
         header = (["step"] + [f"fid_{i}" for i in range(self.n_avg)] + ["mean"])
         if self.history:
             append_csv(path, header, self.history[-1])
+
+    # Resume support: the reference loses FID history/best on --resume
+    # (evaluate/gan.py:147-159 rebuilds fresh, so a post-restart eval can
+    # overwrite ckpt/best with a worse score); this closes that gap.
+    def state_dict(self) -> dict:
+        hist = (np.asarray(self.history, dtype=np.float64)
+                if self.history else np.zeros((0, self.n_avg + 2)))
+        return {"history": hist, "best": np.float64(self.best)}
+
+    def load_state_dict(self, state: dict) -> None:
+        hist = np.asarray(state["history"], dtype=np.float64)
+        self.history = [list(map(float, row)) for row in hist]
+        self.best = float(state["best"])
+        self.is_best = False

@@ -52,6 +52,27 @@ class FixedSampleGeneration:
     def summary(self) -> List[np.ndarray]:
         return self.frames
 
+    # Resume support: keep the SAME fixed latents (and the frames so far)
+    # across a restart so the progress GIF stays one continuous trajectory
+    # (the reference redraws latents on --resume, evaluate/gan.py:48-58).
+    def state_dict(self) -> dict:
+        if self.volatile:
+            return {}
+        return {
+            "z": np.asarray(jax.device_get(self.z)),
+            "frames": (np.stack(self.frames) if self.frames
+                       else np.zeros((0,), dtype=np.uint8)),
+        }
+
+    def load_state_dict(self, state: dict) -> None:
+        if self.volatile or "z" not in state:
+            return
+        import jax.numpy as jnp
+
+        self.z = jnp.asarray(state["z"])
+        frames = np.asarray(state["frames"])
+        self.frames = [] if frames.size == 0 else list(frames)
+
 
 class ImageGrid:
     """64-image preview grid of (augmented) reals (reference

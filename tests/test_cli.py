@@ -5,6 +5,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -16,6 +18,7 @@ def _run(args, cwd=REPO, timeout=540):
         capture_output=True, text=True)
 
 
+@pytest.mark.slow
 def test_train_gan_cli_end_to_end(tmp_path):
     logroot = str(tmp_path / "logs")
     r = _run([
@@ -45,19 +48,33 @@ def test_train_gan_cli_end_to_end(tmp_path):
     assert lines[0] == "step,fid_0,fid_1,mean"
     assert len(lines) == 2  # one eval at step 3
 
-    # resume continues from the checkpointed step
+    # eval-side state persisted next to the checkpoint
+    assert os.path.exists(os.path.join(logdir, "eval_state.npz"))
+
+    # resume continues from the checkpointed step AND restores eval state:
+    # same eval_seed => the FID CSV keeps appending instead of forking
     r2 = _run([
         "train_gan.py", "configs/gan/cifar10/c10_smoke.toml", "sndcgan",
         "--mode", "contrad", "--aug", "hflip", "--use_warmup",
-        "--platform", "cpu", "--print_every", "1", "--evaluate_every", "50",
-        "--no_gif", "--no_fid", "--seed", "11", "--resume", logdir,
+        "--platform", "cpu", "--print_every", "1", "--evaluate_every", "5",
+        "--no_gif", "--fid_embed", "moments", "--n_eval_avg", "2",
+        "--seed", "11", "--resume", logdir,
         "--override", "options.max_steps=5", "options.batch_size=8",
+        "options.fid_size=16",
     ])
     assert r2.returncode == 0, r2.stdout[-2000:] + r2.stderr[-2000:]
     assert "Checkpoint loaded" in r2.stdout and "(step 3)" in r2.stdout
+    assert "Eval state restored" in r2.stdout
     assert "Steps       5" in r2.stdout
+    fid_csvs_after = [f for f in os.listdir(logdir)
+                      if f.startswith("results_fid")]
+    assert fid_csvs_after == fid_csvs  # no forked CSV: eval_seed survived
+    with open(os.path.join(logdir, fid_csvs[0])) as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 3  # header + step-3 row + appended step-5 row
 
 
+@pytest.mark.slow
 def test_eval_clis_end_to_end(tmp_path):
     """The full eval CLI chain off a trained logdir: sample generation ->
     stats precompute -> FID/IS scoring (reference test_tf_inception.py CLI

@@ -91,3 +91,64 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(restored.step) == 42
     for a, b in zip(jax.tree.leaves(state), jax.tree.leaves(restored)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_eval_state_roundtrip_best_gating(tmp_path):
+    """The eval-state sidecar must carry FID best/history, the fixed GIF
+    latents + frames, and eval_seed across a resume, so a WORSE post-resume
+    score does not re-arm ckpt/best gating (the reference loses this state,
+    evaluate/gan.py:147-159)."""
+    from contrad_tpu.evaluate.fid import FIDScore
+    from contrad_tpu.evaluate.persist import (
+        restore_eval_state, save_eval_state)
+    from contrad_tpu.evaluate.visual import FixedSampleGeneration
+
+    rng = np.random.default_rng(0)
+    stats_dir = str(tmp_path / "stats")
+    fid = FIDScore("synthetic_16", size=64, n_avg=2, embedder="moments",
+                   stats_dir=stats_dir)
+
+    from contrad_tpu.data import get_dataset_ref
+
+    ref = get_dataset_ref("synthetic_16")
+
+    def good_sampler(n, seed):  # reals themselves -> near-zero FID
+        idx = np.random.default_rng(seed).integers(0, len(ref.images), n)
+        return ref.images[idx].astype(np.float32) / 255.0
+
+    def bad_sampler(n, seed):  # uniform noise -> large FID
+        return np.random.default_rng(seed).uniform(size=(n, 16, 16, 3))
+
+    good = fid.update(step=100, sampler=good_sampler)
+    assert fid.is_best and fid.best == good
+
+    g = GSndcgan(image_size=IMG, ngf=8, nz=16)
+    fixed = FixedSampleGeneration(g, jax.random.PRNGKey(3), n=4)
+    fixed.frames.append(np.zeros((10, 10, 3), dtype=np.uint8))
+
+    logdir = str(tmp_path / "run")
+    os.makedirs(logdir)
+    save_eval_state(logdir, eval_seed=1234, fid=fid, fixed_gen=fixed)
+
+    # --- simulated restart: fresh trackers, restore the sidecar
+    fid2 = FIDScore("synthetic_16", size=64, n_avg=2, embedder="moments",
+                    stats_dir=stats_dir)
+    fixed2 = FixedSampleGeneration(g, jax.random.PRNGKey(99), n=4)
+    seed = restore_eval_state(logdir, fid=fid2, fixed_gen=fixed2)
+    assert seed == 1234
+    assert fid2.best == fid.best
+    assert fid2.history == fid.history
+    np.testing.assert_array_equal(np.asarray(fixed2.z), np.asarray(fixed.z))
+    assert len(fixed2.frames) == 1
+
+    # worse post-resume score must NOT become "best" (ckpt/best gating)
+    worse = fid2.update(step=200, sampler=bad_sampler)
+    assert worse > fid2.best
+    assert not fid2.is_best
+    # a better one still does
+    fid2.update(step=300, sampler=good_sampler)
+    # good_sampler is stochastic per-seed but near-identical; allow either
+    assert fid2.best <= good * 1.5
+
+    # no sidecar -> None, trackers untouched (fresh-run semantics)
+    assert restore_eval_state(str(tmp_path / "nowhere")) is None

@@ -266,6 +266,65 @@ def test_stylegan2_trainer_step_with_r1(devices):
         assert np.isfinite(float(v)), k
 
 
+def test_stylegan2_sharded_matches_single_device(devices, monkeypatch):
+    """StyleGAN2Trainer 1-vs-8-device equivalence oracle (the SNDCGAN twin is
+    tests/test_step.py::test_sharded_matches_single_device): the FULL lazy-R1
+    step — grad-of-grad R1 on augmented reals, EMA accumulate, style mixing,
+    minibatch-stddev over the global batch — with the space-to-depth packed
+    G-top and D-stem FORCED ON (channel map shrunk so the <=64/<=32 lane
+    gates fire at 16^2), must produce identical metrics and D params on 1 and
+    8 devices. Certifies the packed paths' collective behavior, not just
+    shapes. Reference step semantics: train_stylegan2.py:147-229."""
+    import contrad_tpu.models.stylegan2.discriminator as dmod
+    import contrad_tpu.models.stylegan2.generator as gmod
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.models.stylegan2 import DStylegan2, GStylegan2
+    from contrad_tpu.parallel.mesh import get_mesh
+    from contrad_tpu.training.state import create_train_state, make_optimizer
+    from contrad_tpu.training.step import StyleGAN2Trainer
+
+    tiny = {4: 16, 8: 16, 16: 16, 32: 16}
+    monkeypatch.setattr(gmod, "stylegan2_channels", lambda *a, **k: dict(tiny))
+    monkeypatch.setattr(dmod, "stylegan2_channels", lambda *a, **k: dict(tiny))
+
+    size = 16
+    # the lane gates the monkeypatch is meant to fire (generator.py:296-298,
+    # discriminator.py:104-105); packing leaves the param tree unchanged, so
+    # certify engagement through the gate conditions themselves
+    assert dmod.stylegan2_channels(2.0, False)[size] <= 32
+    assert gmod.stylegan2_channels(2.0, False)[size] <= 64
+    metrics_by_n = {}
+    d_params_by_n = {}
+    for n_dev in (1, 8):
+        g = GStylegan2(size=size, n_mlp=2)
+        d = DStylegan2(size=size, mlp_linear=True, d_hidden=32)
+        g_opt = make_optimizer(2e-3, (0.0, 0.99))
+        d_opt = make_optimizer(2e-3, (0.0, 0.99))
+        trainer = StyleGAN2Trainer(
+            g, d, mode="contrad", augment_fn=get_augment("none"),
+            g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+            temp=0.1, lbd_a=1.0, lbd_r1=0.1, d_reg_every=4, style_mix=0.9,
+            mesh=get_mesh(devices[:n_dev]))
+        state = create_train_state(jax.random.PRNGKey(0), g, d,
+                                   (size, size, 3), g_opt, d_opt, ema=True)
+        state = trainer.place_state(state)
+        images = trainer.place_batch(
+            jax.random.uniform(jax.random.PRNGKey(1), (8, size, size, 3)))
+        state, metrics = trainer.train_step(state, images, ema_decay=0.999,
+                                            do_r1=True)
+        assert float(metrics["D_r1"]) > 0.0  # the R1 branch actually ran
+        metrics_by_n[n_dev] = {k: float(v) for k, v in metrics.items()}
+        d_params_by_n[n_dev] = jax.device_get(state.d_params)
+
+    for k in metrics_by_n[1]:
+        np.testing.assert_allclose(
+            metrics_by_n[1][k], metrics_by_n[8][k], rtol=2e-4, atol=1e-5,
+            err_msg=f"metric {k} diverges between 1 and 8 devices")
+    for a, b in zip(jax.tree.leaves(d_params_by_n[1]),
+                    jax.tree.leaves(d_params_by_n[8])):
+        np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
+
+
 def test_pallas_blur_matches_xla(np_rng):
     """The Pallas fused blur (interpreter mode on CPU) must match the XLA
     composite (tools/pallas_blur_bench.py measures the on-chip choice)."""

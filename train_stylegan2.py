@@ -242,6 +242,20 @@ def main():
         except Exception as e:
             logger.log(f"FID disabled: {e}")
 
+    if P.resume:
+        # Restore eval-side state (FID best/history, GIF latents+frames,
+        # filename seed) so ckpt/best gating and the progress GIF survive
+        # the restart — the reference loses these (evaluate/gan.py:147-159).
+        from contrad_tpu.evaluate.persist import restore_eval_state
+
+        restored_seed = restore_eval_state(P.resume, fid=fid,
+                                           fixed_gen=fixed_gen)
+        if restored_seed is not None:
+            eval_seed = restored_seed
+            logger.log(f"Eval state restored (eval_seed {eval_seed}"
+                       + (f", FID best {fid.best:.2f}" if fid is not None
+                          and fid.history else "") + ")")
+
     if P.trace_steps > 0:
         jax.profiler.start_trace(os.path.join(logger.logdir, "profile"))
 
@@ -304,6 +318,11 @@ def main():
                 save_checkpoint(logger.logdir, state, "best")
             if step % P.save_every == 0:
                 save_checkpoint(logger.logdir, state, f"step_{step}")
+            if rank == 0:
+                from contrad_tpu.evaluate.persist import save_eval_state
+
+                save_eval_state(logger.logdir, eval_seed, fid=fid,
+                                fixed_gen=fixed_gen)
 
     from contrad_tpu.utils import wait_for_checkpoints
 
