@@ -175,11 +175,23 @@ class FIDScore:
         self.best = float("inf")
         self.is_best = False
 
-    def update(self, step: int, sampler: SamplerFn) -> float:
+    def update(self, step: int, sampler: Optional[SamplerFn] = None,
+               feature_fn: Optional[Callable] = None) -> float:
+        """One eval: ``n_avg`` FID trials. Provide EITHER ``sampler`` (host
+        image path, batch-50 loop — reference protocol) or ``feature_fn``
+        (``(n, seed) -> (n, d)`` features, e.g. the mesh-sharded fused
+        sampler+embedder from evaluate/sharded.py)."""
+        if (sampler is None) == (feature_fn is None):
+            raise ValueError("pass exactly one of sampler / feature_fn")
         scores, diversity, meanshift = [], [], []
         for trial in range(self.n_avg):
-            mu, sigma = compute_stats_from_sampler(
-                sampler, self.embed_fn, self.size, self.batch_size, seed=trial)
+            if feature_fn is not None:
+                mu, sigma = compute_stats(
+                    np.asarray(feature_fn(self.size, trial)))
+            else:
+                mu, sigma = compute_stats_from_sampler(
+                    sampler, self.embed_fn, self.size, self.batch_size,
+                    seed=trial)
             scores.append(float(calculate_frechet_distance(
                 mu, sigma, self.ref_mu, self.ref_sigma)))
             # Learning-dynamics proxies (embedder-agnostic, so they work with

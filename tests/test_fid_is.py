@@ -11,6 +11,8 @@ from contrad_tpu.evaluate.fid import (
     compute_stats,
     compute_stats_from_sampler,
     fid_score,
+    moments_embed_fn,
+    stats_path,
 )
 from contrad_tpu.evaluate.inception_score import (
     inception_score,
@@ -284,3 +286,80 @@ def test_embed_and_logits_fn_random_weights(rng, monkeypatch):
     imgs_f = imgs_u8.astype(np.float32) / 255.0
     np.testing.assert_allclose(embed(imgs_f), feats, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(probs(imgs_f), p, rtol=1e-5, atol=1e-5)
+
+
+def test_moments_embed_jax_matches_numpy(np_rng):
+    """The jnp mirror of the moments embedder (runs inside the sharded
+    program) must match the host f64 version to f32 precision."""
+    import jax.numpy as jnp
+
+    from contrad_tpu.evaluate.sharded import moments_embed_jax
+
+    x = np_rng.uniform(size=(12, 16, 16, 3)).astype(np.float32)
+    ref = moments_embed_fn(x)
+    got = np.asarray(moments_embed_jax(jnp.asarray(x)))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_sharded_feature_sampler(devices):
+    """make_feature_sampler: one jitted mesh-sharded G+embed program.
+    Features must equal embedding the SAME deterministic samples by hand
+    (host moments embedder), chunking must cover n not divisible by
+    batch_per_call, and repeated calls must be deterministic."""
+    import jax
+    import jax.numpy as jnp
+
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.evaluate.sharded import make_feature_sampler
+    from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
+    from contrad_tpu.parallel.mesh import get_mesh
+    from contrad_tpu.training import (
+        GANTrainer, create_train_state, make_optimizer)
+
+    IMG = (16, 16, 3)
+    g = GSndcgan(image_size=IMG, ngf=8, nz=16)
+    d = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True, d_hidden=32)
+    opt = make_optimizer(2e-4, (0.5, 0.999))
+    trainer = GANTrainer(g, d, mode="std", augment_fn=get_augment("none"),
+                         g_optimizer=opt, d_optimizer=opt,
+                         loss_type="nonsat", mesh=get_mesh(devices))
+    state = trainer.place_state(create_train_state(
+        jax.random.PRNGKey(0), g, d, IMG, opt, opt))
+
+    fn = make_feature_sampler(trainer, embedder="moments", batch_per_call=16)
+    feats = fn(state, 24, seed=3)  # 24 = 16 + 8: exercises the chunk tail
+    assert feats.shape[0] == 24 and feats.ndim == 2
+    np.testing.assert_array_equal(feats, fn(state, 24, seed=3))  # determinism
+
+    # hand-reconstruct chunk 0: same PRNG stream -> same z/noise -> same
+    # images -> host moments embedding must match the on-mesh features
+    rng = jax.random.PRNGKey(3 * 100003 + 0)
+    z_rng, noise_rng = jax.random.split(rng)
+    z = g.sample_latent(z_rng, 16)
+    images, _ = trainer.g_apply(state.g_params, state.g_state, z, train=False,
+                                update_state=False, rng=noise_rng)
+    ref = moments_embed_fn(np.asarray(jax.device_get(images)))
+    np.testing.assert_allclose(feats[:16], ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fid_update_with_feature_fn(tmp_path, np_rng):
+    """FIDScore.update(feature_fn=...) drives the same trial/averaging/best
+    machinery as the sampler path, and rejects ambiguous calls."""
+    stats_dir = str(tmp_path)
+    ref_feats = np_rng.normal(size=(256, 8))
+    np.savez(stats_path("synthetic_16", stats_dir),
+             mu=ref_feats.mean(0), sigma=np.cov(ref_feats, rowvar=False))
+    fid = FIDScore("synthetic_16", size=64, n_avg=2,
+                   embed_fn=lambda x: x, stats_dir=stats_dir)
+
+    def feature_fn(n, seed):
+        return np.random.default_rng(seed).normal(size=(n, 8))
+
+    avg = fid.update(step=1, feature_fn=feature_fn)
+    assert np.isfinite(avg) and fid.is_best and len(fid.history) == 1
+
+    with pytest.raises(ValueError):
+        fid.update(step=2)
+    with pytest.raises(ValueError):
+        fid.update(step=2, sampler=lambda n, s: None, feature_fn=feature_fn)

@@ -233,12 +233,20 @@ def main():
     aug_preview = jax.jit(lambda r, x: augment_fn(r, x))
 
     fid = None
+    fid_feature_fn = None
     if not P.no_fid:
         try:
             from contrad_tpu.evaluate.fid import FIDScore
+            from contrad_tpu.evaluate.sharded import make_feature_sampler
 
             fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg,
                            embedder=P.fid_embed)
+            # Fused mesh-sharded sampler+embedder on the EMA generator
+            # (reference evaluates g_ema, train_stylegan2.py:249); one jitted
+            # SPMD program, >=512 samples/call, features-only readback.
+            fid_feature_fn = make_feature_sampler(
+                trainer, embedder=P.fid_embed, use_ema=True,
+                batch_per_call=min(512, opt.fid_size))
         except Exception as e:
             logger.log(f"FID disabled: {e}")
 
@@ -290,9 +298,8 @@ def main():
         if step % P.evaluate_every == 0:
             logger.log_dirname(f"Steps {step + 1}")
             if fid is not None:
-                fid_avg = fid.update(step, lambda n, r: np.asarray(
-                    jax.device_get(trainer.sample_fn(state, n, True, False,
-                                                     jnp.asarray(r)))))
+                fid_avg = fid.update(
+                    step, feature_fn=lambda n, s: fid_feature_fn(state, n, s))
                 fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
                 logger.scalar_summary("gan/test/fid", fid_avg, step)
                 logger.scalar_summary("gan/test/fid/best", fid.best, step)
