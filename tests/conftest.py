@@ -13,6 +13,17 @@ if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+# Persistent XLA compilation cache: the suite's cost is dominated by
+# recompiling identical 8-device train-step programs (test_step.py alone was
+# ~9 min cold).  The cache dedups identical programs across tests AND across
+# suite runs; set via env var so subprocess CLI tests (test_cli.py,
+# test_quality_run.py) inherit it.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir,
+                                 ".jax_cache")))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0.5")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax  # noqa: E402  (import after env setup)
 

@@ -50,8 +50,6 @@ def test_modes_one_step(mode, devices):
     assert int(new_state.step) == 1
     for k in ("G_loss", "D_loss", "D_penalty", "D_real", "D_gen"):
         assert np.isfinite(float(metrics[k])), f"{k} not finite in mode={mode}"
-    # D params actually moved
-    d0 = jax.tree.leaves(state.d_params) if False else None
     assert float(jnp.abs(
         jax.tree.leaves(new_state.g_params)[0]).sum()) > 0
 

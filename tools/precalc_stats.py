@@ -44,6 +44,14 @@ def main():
     )
 
     embed_fn = get_embed_fn(args.embed)
+    # Same segregation rule as FIDScore (fid.py:159-161): non-inception
+    # embedders cache under <STATS_DIR>/<embed>/ so debug stats can never be
+    # mistaken for real inception stats.
+    stats_dir = None
+    if args.embed != "inception":
+        from contrad_tpu.evaluate.fid import STATS_DIR
+
+        stats_dir = os.path.join(STATS_DIR, args.embed)
 
     if args.dataset:
         if args.out:
@@ -57,6 +65,7 @@ def main():
             path = args.out
         else:
             path = precompute_stats(args.dataset, embed_fn,
+                                    stats_dir=stats_dir,
                                     batch_size=args.batch_size)
     else:
         from PIL import Image

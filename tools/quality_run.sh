@@ -1,0 +1,53 @@
+#!/usr/bin/env bash
+# Quality runbook: the north-star CIFAR-10 FID number, one command.
+#
+# The moment real data + inception weights exist in the environment, this
+# reproduces the reference's flagship quality protocol (EXPERIMENTS.md:15 ->
+# CIFAR-10 FID@10k ~3.x with SNDCGAN+ContraD):
+#
+#   DATA_DIR=data/ ./tools/quality_run.sh                # full run, 10k steps
+#   STEPS=100000 ./tools/quality_run.sh                  # paper-length run
+#   EMBED=moments DATASET=synthetic_32 ./tools/quality_run.sh   # dry run,
+#       # weights-free (CI: tests/test_quality_run.py exercises this path)
+#
+# Stages: asset check -> FID reference-stats precompute -> flagship training
+# with in-loop FID (mesh-sharded eval) -> FID trajectory printout.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+DATA_DIR="${DATA_DIR:-data/}"
+DATASET="${DATASET:-cifar10}"
+EMBED="${EMBED:-inception}"
+STEPS="${STEPS:-10000}"
+EVAL_EVERY="${EVAL_EVERY:-2000}"
+FID_SIZE="${FID_SIZE:-10000}"
+LOGROOT="${LOGROOT:-logs/quality}"
+EXTRA_FLAGS="${EXTRA_FLAGS:-}"          # extra CLI flags (no --override here)
+EXTRA_OVERRIDES="${EXTRA_OVERRIDES:-}"  # extra options.* overrides
+export DATA_DIR
+
+echo "== [1/4] asset check (dataset: $DATASET, embedder: $EMBED)"
+if [ "$EMBED" = "inception" ]; then
+    python tools/fetch_assets.py --data_dir "$DATA_DIR" \
+        || { echo "asset fetch failed — need network, or pre-place the files"; exit 1; }
+fi
+
+echo "== [2/4] FID reference stats ($DATASET reference split)"
+python tools/precalc_stats.py --dataset "$DATASET" --embed "$EMBED"
+
+echo "== [3/4] flagship training: sndcgan + contrad + simclr, b512, $STEPS steps"
+python train_gan.py configs/gan/cifar10/c10_b512.toml sndcgan \
+    --mode contrad --aug simclr --use_warmup \
+    --fid_embed "$EMBED" --evaluate_every "$EVAL_EVERY" \
+    --logdir_root "$LOGROOT" \
+    $EXTRA_FLAGS \
+    --override options.dataset="$DATASET" options.max_steps="$STEPS" \
+               options.fid_size="$FID_SIZE" $EXTRA_OVERRIDES
+
+echo "== [4/4] FID trajectory"
+CSV=$(find "$LOGROOT" -name 'results_fid_*.csv' -newermt '-1 day' | sort | tail -1)
+if [ -z "$CSV" ]; then echo "no FID CSV found under $LOGROOT"; exit 1; fi
+echo "--- $CSV"
+cat "$CSV"
+BEST=$(tail -n +2 "$CSV" | awk -F, '{print $NF}' | sort -g | head -1)
+echo "BEST FID@${FID_SIZE} ($EMBED embedder): $BEST"
