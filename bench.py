@@ -1,13 +1,22 @@
 #!/usr/bin/env python
-"""Benchmark: SNDCGAN+ContraD training throughput on the flagship recipe.
+"""Benchmark: ContraD training throughput on the reference's headline recipes.
 
-Measures the full ContraD train step (G fwd, SimCLR augmentation of the
-[real, real, fake] 3N batch, D fwd/bwd with both contrastive losses, G bwd,
-both Adam updates, spectral-norm power iterations) at the reference's
-flagship CIFAR-10 configuration: 32x32x3, global batch 512, mode=contrad,
-aug=simclr (reference EXPERIMENTS.md:15, c10_b512.gin).
+Primary metric (the JSON line's "value"): the flagship SNDCGAN+ContraD step —
+G fwd, SimCLR augmentation of the [real, real, fake] 3N batch, D fwd/bwd with
+both contrastive losses, G bwd, both Adam updates, spectral-norm power
+iterations — at the reference's flagship CIFAR-10 configuration: 32x32x3,
+global batch 512, mode=contrad, aug=simclr (reference EXPERIMENTS.md:15,
+c10_b512.gin).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Secondary metrics (the "secondary" dict in the same single JSON line, so
+regressions in those paths are driver-visible too):
+  * stylegan2_512_b8_bf16_ms  — the 512² StyleGAN2+ContraD simclr_hq step
+    (EXPERIMENTS.md:79-81) with the space-to-depth packed G-top/D-stem
+    (ops/packed.py); guards the packed-path optimizations.
+  * stylegan2_32_b64_f32_ms   — the small32 StyleGAN2+ContraD step
+    (EXPERIMENTS.md:27-28); guards the modulated-conv/upfirdn2d stack.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
 
 Baseline: the reference implementation on a single V100 (its documented
 hardware class — environment.yml pins cudatoolkit 10.1). The repo publishes
@@ -28,7 +37,23 @@ MEASURE_STEPS = 50
 TRIALS = 3  # first trial after warmup can still be noisy on the axon tunnel
 
 
-def main():
+def _time_steps(trainer, state, batch, steps, trials, warmup=3, **step_kwargs):
+    import jax
+
+    for _ in range(warmup):
+        state, metrics = trainer.train_step(state, batch, **step_kwargs)
+    jax.block_until_ready((state.g_params, metrics))
+    best = float("inf")
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = trainer.train_step(state, batch, **step_kwargs)
+        jax.block_until_ready((state.g_params, metrics))
+        best = min(best, (time.perf_counter() - t0) / steps)
+    return best
+
+
+def bench_flagship():
     import jax
     import numpy as np
 
@@ -57,25 +82,56 @@ def main():
     data = rng.integers(0, 256, size=(BATCH,) + IMAGE_SIZE, dtype=np.uint8)
     batch = trainer.place_batch(data)
 
-    for _ in range(WARMUP_STEPS):
-        state, metrics = trainer.train_step(state, batch)
-    jax.block_until_ready((state.g_params, metrics))
+    best_dt = _time_steps(trainer, state, batch, MEASURE_STEPS, TRIALS,
+                          warmup=WARMUP_STEPS)
+    return BATCH / best_dt / n_chips
 
-    best_dt = float("inf")
-    for _ in range(TRIALS):
-        t0 = time.perf_counter()
-        for _ in range(MEASURE_STEPS):
-            state, metrics = trainer.train_step(state, batch)
-        jax.block_until_ready((state.g_params, metrics))
-        best_dt = min(best_dt, time.perf_counter() - t0)
 
-    imgs_per_sec = BATCH * MEASURE_STEPS / best_dt
-    imgs_per_sec_per_chip = imgs_per_sec / n_chips
+def bench_stylegan2(image_size, arch, batch, aug, dtype, steps=15, trials=2):
+    import jax
+    import numpy as np
+
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.models import get_architecture
+    from contrad_tpu.parallel import get_mesh
+    from contrad_tpu.training import create_train_state, make_optimizer
+    from contrad_tpu.training.step import StyleGAN2Trainer
+
+    g, d = get_architecture(arch, image_size, dtype=dtype)
+    g_opt = make_optimizer(2e-3, (0.0, 0.99))
+    d_opt = make_optimizer(2e-3, (0.0, 0.99))
+    trainer = StyleGAN2Trainer(
+        g, d, mode="contrad", augment_fn=get_augment(aug),
+        g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+        lbd_r1=0.5, d_reg_every=16, mesh=get_mesh())
+    state = trainer.place_state(create_train_state(
+        jax.random.PRNGKey(0), g, d, image_size, g_opt, d_opt, ema=True))
+    data = np.random.default_rng(0).integers(
+        0, 256, size=(batch,) + image_size, dtype=np.uint8)
+    placed = trainer.place_batch(data)
+    best = _time_steps(trainer, state, placed, steps, trials,
+                       ema_decay=0.99, do_r1=False)
+    return best * 1000.0  # ms/step
+
+
+def main():
+    import jax.numpy as jnp
+
+    imgs_per_sec_per_chip = bench_flagship()
+    secondary = {
+        "stylegan2_32_b64_f32_ms": round(bench_stylegan2(
+            (32, 32, 3), "stylegan2", 64, "simclr", jnp.float32,
+            steps=30, trials=2), 1),
+        "stylegan2_512_b8_bf16_ms": round(bench_stylegan2(
+            (512, 512, 3), "stylegan2_512", 8, "simclr_hq", jnp.bfloat16,
+            steps=15, trials=2), 1),
+    }
     print(json.dumps({
         "metric": "sndcgan_contrad_cifar10_b512_train_throughput",
         "value": round(imgs_per_sec_per_chip, 1),
         "unit": "imgs/sec/chip",
         "vs_baseline": round(imgs_per_sec_per_chip / V100_BASELINE_IMGS_PER_SEC, 3),
+        "secondary": secondary,
     }))
 
 

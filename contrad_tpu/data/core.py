@@ -233,10 +233,24 @@ class ShardedDeviceBatchIterator:
         ])  # (n_dev, shard_len)
         self._pos = 0
 
+    # Trainers can fuse the batch gather INTO the jitted train step
+    # (GANTrainer.train_step_indexed): indices are shard-local here.
+    supports_indexed = True
+    local_indexing = True
+
+    @property
+    def images(self):
+        """The staged device-resident dataset (1/N per device). Read AFTER
+        next_indices() — epoch boundaries ring-rotate the array."""
+        return self._images
+
     def __iter__(self):
         return self
 
-    def __next__(self):
+    def next_indices(self):
+        """Advance the stream by one batch but return only the (shard-local)
+        index vector + host labels; callers gather on device — either via
+        materialize() or fused into the train step."""
         if (self._local_orders is None
                 or self._pos + self.local_batch > self.shard_len):
             if self._local_orders is not None:
@@ -249,8 +263,14 @@ class ShardedDeviceBatchIterator:
             self._label_chunks[self._chunk_of(d)][idx[d]]
             for d in range(self.n_dev)
         ])
-        images = self._gather(self._images, idx.reshape(-1).astype(np.int32))
-        return images, labels
+        return idx.reshape(-1).astype(np.int32), labels
+
+    def materialize(self, idx):
+        return self._gather(self._images, idx)
+
+    def __next__(self):
+        idx, labels = self.next_indices()
+        return self.materialize(idx), labels
 
 
 class DeviceBatchIterator:
@@ -288,10 +308,22 @@ class DeviceBatchIterator:
             lambda data, idx: jnp.take(data, idx, axis=0),
             out_shardings=batch_sharding(mesh))
 
+    # Trainers can fuse the batch gather INTO the jitted train step
+    # (GANTrainer.train_step_indexed): indices are global rows here.
+    supports_indexed = True
+    local_indexing = False
+
+    @property
+    def images(self):
+        return self._images
+
     def __iter__(self):
         return self
 
-    def __next__(self):
+    def next_indices(self):
+        """Advance the stream by one batch but return only the (global) index
+        vector + host labels; callers gather on device — either via
+        materialize() or fused into the train step."""
         # reuse BatchIterator's epoch bookkeeping but only take the indices
         it = self._indices
         if it._order is None or it._pos + it.batch_size > len(it._order):
@@ -300,7 +332,14 @@ class DeviceBatchIterator:
             it._reshuffle()
         idx = it._order[it._pos : it._pos + it.batch_size]
         it._pos += it.batch_size
-        return self._gather(self._images, idx), self._labels[idx]
+        return np.asarray(idx, dtype=np.int32), self._labels[idx]
+
+    def materialize(self, idx):
+        return self._gather(self._images, idx)
+
+    def __next__(self):
+        idx, labels = self.next_indices()
+        return self.materialize(idx), labels
 
 
 def make_train_loader(dataset: ArrayDataset, global_batch: int, mesh,

@@ -37,10 +37,19 @@ def make_optimizer(
     warmup: int = 0,
     use_warmup: bool = False,
     lr_decay_fn=None,
+    flat: bool = False,
 ) -> optax.GradientTransformation:
     """Adam with the reference's linear LR warmup
     (``train_gan.py:88-93``: lr * min(1, (step+1)/warmup)) and an optional
-    multiplicative decay schedule (StyleGAN2 half-life decay)."""
+    multiplicative decay schedule (StyleGAN2 half-life decay).
+
+    ``flat=True`` runs the Adam math over ONE raveled parameter vector
+    (``optax.flatten``): instead of ~8 small XLA ops per pytree leaf —
+    hundreds of lane-underfilled (8,128)-tile kernels for the bias/style
+    leaves of a big model — the update is a handful of full-bandwidth
+    elementwise ops over a single contiguous buffer. Numerics are identical
+    (Adam is elementwise); only the opt-state layout changes, so flip it per
+    run, not mid-run (checkpointed opt states are layout-specific)."""
 
     def schedule(count):
         lr_t = jnp.asarray(lr, dtype=jnp.float32)
@@ -50,7 +59,8 @@ def make_optimizer(
             lr_t = lr_t * lr_decay_fn(count)
         return lr_t
 
-    return optax.adam(schedule, b1=beta[0], b2=beta[1])
+    tx = optax.adam(schedule, b1=beta[0], b2=beta[1])
+    return optax.flatten(tx) if flat else tx
 
 
 def split_variables(variables: dict) -> Tuple[Any, dict]:

@@ -142,6 +142,9 @@ class GANTrainer:
 
         self.step_fn = jax.jit(self._step, donate_argnums=(0,))
         self.sample_fn = jax.jit(self._sample, static_argnums=(1, 2, 3))
+        # Fused-gather step variants (built lazily per indexing style):
+        # {False: global-row gather, True: shard-local gather}.
+        self._indexed_fns = {}
 
     # ------------------------------------------------------------- phases
 
@@ -252,6 +255,57 @@ class GANTrainer:
         if not self.conditional:
             labels = None  # unconditional D ignores dataset labels
         return self.step_fn(state, images, ema_decay, labels)
+
+    # ------------------------------------------------- fused-gather step
+
+    def _make_batch_gather(self, local: bool):
+        """Device-side batch gather for the fused step. ``local=False``:
+        ``data`` is replicated, ``idx`` holds global rows — each device
+        gathers its batch-shard's rows from its own copy. ``local=True``
+        (ShardedDeviceBatchIterator): ``data`` is sharded over the data axis
+        and ``idx`` holds shard-local rows — a shard_map take."""
+        from jax.sharding import PartitionSpec as Pspec
+
+        from contrad_tpu.parallel.mesh import DATA_AXIS
+
+        if local:
+            spec = Pspec(DATA_AXIS)
+            return jax.shard_map(
+                lambda data, idx: jnp.take(data, idx, axis=0),
+                mesh=self.mesh, in_specs=(spec, spec), out_specs=spec)
+
+        def gather(data, idx):
+            batch = jnp.take(data, idx, axis=0)
+            return jax.lax.with_sharding_constraint(
+                batch, batch_sharding(self.mesh))
+
+        return gather
+
+    def _build_indexed(self, local: bool):
+        gather = self._make_batch_gather(local)
+
+        def fn(state, data, idx, ema_decay, labels):
+            return self._step(state, gather(data, idx), ema_decay, labels)
+
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def train_step_indexed(self, state: GANTrainState, data, idx,
+                           local: bool = False, ema_decay: float = 0.0,
+                           labels=None):
+        """Train step with the batch gather fused INTO the jitted program:
+        ``data`` is the device-resident dataset (DeviceBatchIterator /
+        ShardedDeviceBatchIterator ``.images``) and ``idx`` the step's index
+        vector. One XLA dispatch per step — only ~4 KB of indices crosses the
+        host link (the separate gather dispatch costs ~9 ms/step through a
+        tunneled device; fused, it also pipelines with the step program)."""
+        if self.conditional and labels is None:
+            raise ValueError("discriminator has n_classes>1: pass labels")
+        if not self.conditional:
+            labels = None
+        fn = self._indexed_fns.get(local)
+        if fn is None:
+            fn = self._indexed_fns[local] = self._build_indexed(local)
+        return fn(state, data, idx, ema_decay, labels)
 
     # ------------------------------------------------------------- eval
 
@@ -393,3 +447,19 @@ class StyleGAN2Trainer(GANTrainer):
     def train_step(self, state: GANTrainState, images, ema_decay: float = 0.0,
                    do_r1: bool = False):
         return self.step_fn(state, images, ema_decay, bool(do_r1))
+
+    def _build_indexed(self, local: bool):
+        gather = self._make_batch_gather(local)
+
+        def fn(state, data, idx, ema_decay, do_r1):
+            return self._sg2_step(state, gather(data, idx), ema_decay, do_r1)
+
+        return jax.jit(fn, donate_argnums=(0,), static_argnums=(4,))
+
+    def train_step_indexed(self, state: GANTrainState, data, idx,
+                           local: bool = False, ema_decay: float = 0.0,
+                           do_r1: bool = False):
+        fn = self._indexed_fns.get(local)
+        if fn is None:
+            fn = self._indexed_fns[local] = self._build_indexed(local)
+        return fn(state, data, idx, ema_decay, bool(do_r1))

@@ -29,6 +29,12 @@ import jax  # noqa: E402  (import after env setup)
 
 # The hosted "axon" TPU plugin can take precedence over the env var; force it.
 jax.config.update("jax_platforms", "cpu")
+# The cache env vars above only bind when present at interpreter exec (they
+# cover the subprocess CLI tests); for THIS process set the config directly.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -50,6 +50,30 @@ def test_warmup_schedule_values():
     np.testing.assert_allclose(first_mag, lr * (1 / warmup), rtol=1e-4)
 
 
+def test_flat_optimizer_matches_tree():
+    """make_optimizer(flat=True) — Adam over one raveled buffer — must be
+    numerically identical to the per-leaf optimizer (Adam is elementwise);
+    only the opt-state layout differs."""
+    import optax
+
+    params = {"a": jnp.asarray([[1.0, -2.0], [0.5, 3.0]]),
+              "b": {"w": jnp.arange(5.0), "bias": jnp.asarray([0.1])}}
+    grads = jax.tree.map(lambda x: jnp.cos(x) + 0.3, params)
+
+    tx_tree = make_optimizer(1e-2, (0.5, 0.999), warmup=4, use_warmup=True)
+    tx_flat = make_optimizer(1e-2, (0.5, 0.999), warmup=4, use_warmup=True,
+                             flat=True)
+    p_tree, p_flat = params, params
+    s_tree, s_flat = tx_tree.init(p_tree), tx_flat.init(p_flat)
+    for _ in range(3):
+        u_tree, s_tree = tx_tree.update(grads, s_tree, p_tree)
+        u_flat, s_flat = tx_flat.update(grads, s_flat, p_flat)
+        p_tree = optax.apply_updates(p_tree, u_tree)
+        p_flat = optax.apply_updates(p_flat, u_flat)
+    for a, b in zip(jax.tree.leaves(p_tree), jax.tree.leaves(p_flat)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
 def test_halflife_decay_fn():
     batch = 64
     halflife_lr = 64000  # images

@@ -150,6 +150,40 @@ def test_sharded_matches_single_device(devices):
         np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-5)
 
 
+@pytest.mark.parametrize("sharded", [False, True])
+def test_indexed_step_matches_regular(sharded, devices):
+    """train_step_indexed — the batch gather fused INTO the jitted step —
+    must be step-identical to materialize-then-train_step, for both global-row
+    (DeviceBatchIterator) and shard-local (ShardedDeviceBatchIterator)
+    indexing."""
+    from contrad_tpu.data.core import (
+        ArrayDataset, DeviceBatchIterator, ShardedDeviceBatchIterator)
+
+    n = 64
+    rng = np.random.default_rng(5)
+    ds = ArrayDataset(
+        rng.integers(0, 256, size=(n,) + IMG, dtype=np.uint8), np.arange(n))
+    mesh_devices = devices
+    cls = ShardedDeviceBatchIterator if sharded else DeviceBatchIterator
+    it = cls(ds, batch_size=BATCH, mesh=get_mesh(mesh_devices), seed=2)
+    assert it.supports_indexed and it.local_indexing == sharded
+    idx, _ = it.next_indices()
+    batch = it.materialize(idx)
+
+    trainer_a, state_a = _make_trainer(mode="contrad", aug="simclr")
+    state_a = trainer_a.place_state(state_a)
+    _, metrics_a = trainer_a.train_step(state_a, batch)
+
+    trainer_b, state_b = _make_trainer(mode="contrad", aug="simclr")
+    state_b = trainer_b.place_state(state_b)
+    _, metrics_b = trainer_b.train_step_indexed(
+        state_b, it.images, idx, local=it.local_indexing)
+
+    for k in metrics_a:
+        np.testing.assert_allclose(float(metrics_a[k]), float(metrics_b[k]),
+                                   rtol=1e-6, atol=1e-7, err_msg=k)
+
+
 def test_determinism(devices):
     outs = []
     for _ in range(2):

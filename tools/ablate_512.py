@@ -28,14 +28,18 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--dtype", default="bf16", choices=["f32", "bf16"])
     p.add_argument("--batch", default=8, type=int)
+    p.add_argument("--flat_opt", action="store_true",
+                   help="Adam over one raveled buffer (optax.flatten)")
+    p.add_argument("--full_only", action="store_true",
+                   help="skip component timings, report FULL STEP only")
     args = p.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
 
     IMG = (512, 512, 3)
     B = args.batch
     g, d = get_architecture("stylegan2_512", IMG, dtype=dtype)
-    go = make_optimizer(2e-3, (0.0, 0.99))
-    do = make_optimizer(2e-3, (0.0, 0.99))
+    go = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt)
+    do = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt)
     tr = StyleGAN2Trainer(
         g, d, mode="contrad", augment_fn=get_augment("simclr_hq"),
         g_optimizer=go, d_optimizer=do, loss_type="nonsat",
@@ -50,10 +54,21 @@ def main():
     z = g.sample_latent(jax.random.PRNGKey(1), B)
     rng = jax.random.PRNGKey(2)
 
-    print(f"devices: {jax.devices()}  dtype={args.dtype}  b{B}")
+    print(f"devices: {jax.devices()}  dtype={args.dtype}  b{B}"
+          f"  flat_opt={args.flat_opt}")
 
     def report(name, dt):
         print(f"  {name:28s} {dt*1000:8.2f} ms")
+
+    if args.full_only:
+        st_r1 = jax.tree.map(jnp.copy, st)
+        dt = time_step(lambda s, b: tr.train_step(s, b, ema_decay=0.99,
+                                                  do_r1=False), st, batch)
+        print(f"  {'FULL STEP':28s} {dt*1000:8.2f} ms   ({B/dt:.1f} img/s)")
+        dt_r1 = time_step(lambda s, b: tr.train_step(s, b, ema_decay=0.99,
+                                                     do_r1=True), st_r1, batch)
+        print(f"  {'FULL STEP +R1':28s} {dt_r1*1000:8.2f} ms")
+        return
 
     # G forward, chained through z-reuse (image -> reduce to fake z? shapes
     # differ); instead chain through a scalar perturbation of z.

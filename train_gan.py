@@ -258,13 +258,26 @@ def main():
         jax.profiler.start_trace(os.path.join(logger.logdir, "profile"))
 
     logger.log_dirname(f"Steps {starting_step}")
+    # Device-resident loaders expose index vectors so the batch gather fuses
+    # INTO the jitted step: one XLA dispatch per step, ~4 KB of indices as
+    # the only per-step host->device transfer.
+    fuse_gather = getattr(loader, "supports_indexed", False)
     t0 = time.time()
     imgs_seen = 0
     for step in range(starting_step, opt.max_steps + 1):
-        batch, batch_labels = next(loader)  # prefetched + already on device
-        labels = (trainer.place_batch(np.asarray(batch_labels))
-                  if P.conditional else None)
-        state, metrics = trainer.train_step(state, batch, labels=labels)
+        if fuse_gather:
+            idx, batch_labels = loader.next_indices()
+            batch = None  # materialized lazily for the eval-time aug preview
+            labels = (trainer.place_batch(np.asarray(batch_labels))
+                      if P.conditional else None)
+            state, metrics = trainer.train_step_indexed(
+                state, loader.images, idx, local=loader.local_indexing,
+                labels=labels)
+        else:
+            batch, batch_labels = next(loader)  # prefetched + on device
+            labels = (trainer.place_batch(np.asarray(batch_labels))
+                      if P.conditional else None)
+            state, metrics = trainer.train_step(state, batch, labels=labels)
         imgs_seen += opt.batch_size * opt.n_critic  # a step consumes n_critic batches
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:
@@ -301,6 +314,8 @@ def main():
                 imageio.mimsave(
                     os.path.join(logger.logdir, f"training_progress_{eval_seed}.gif"),
                     fixed_gen.summary())
+                if batch is None:  # fused-gather path defers materialization
+                    batch = loader.materialize(idx)
                 grid = image_grid.update(aug_preview(
                     jax.random.PRNGKey(step),
                     batch[: opt.batch_size].astype(jnp.float32) / 255.0))

@@ -268,15 +268,26 @@ def main():
         jax.profiler.start_trace(os.path.join(logger.logdir, "profile"))
 
     logger.log_dirname(f"Steps {starting_step}")
+    # Device-resident loaders expose index vectors so the batch gather fuses
+    # INTO the jitted step (one XLA dispatch per step; see train_gan.py).
+    fuse_gather = getattr(loader, "supports_indexed", False)
     t0, imgs_seen = time.time(), 0
     for step in range(starting_step, opt.max_steps + 1):
         do_r1 = (step % P.d_reg_every == 0) and (P.lbd_r1 > 0)
         do_ema = (step * opt.batch_size) > (P.ema_start_k * 1000)
         ema_decay = accum if do_ema else 0.0
 
-        batch, _ = next(loader)  # prefetched + already on device
-        state, metrics = trainer.train_step(state, batch, ema_decay=ema_decay,
-                                            do_r1=do_r1)
+        if fuse_gather:
+            idx, _ = loader.next_indices()
+            batch = None  # materialized lazily for the eval-time aug preview
+            state, metrics = trainer.train_step_indexed(
+                state, loader.images, idx, local=loader.local_indexing,
+                ema_decay=ema_decay, do_r1=do_r1)
+        else:
+            batch, _ = next(loader)  # prefetched + already on device
+            state, metrics = trainer.train_step(state, batch,
+                                                ema_decay=ema_decay,
+                                                do_r1=do_r1)
         imgs_seen += opt.batch_size * opt.n_critic  # a step consumes n_critic batches
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:
@@ -313,6 +324,8 @@ def main():
                 imageio.mimsave(
                     os.path.join(logger.logdir, f"training_progress_{eval_seed}.gif"),
                     fixed_gen.summary())
+                if batch is None:  # fused-gather path defers materialization
+                    batch = loader.materialize(idx)
                 grid = image_grid.update(aug_preview(
                     jax.random.PRNGKey(step),
                     batch[: opt.batch_size].astype(jnp.float32) / 255.0))
