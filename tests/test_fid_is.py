@@ -160,11 +160,13 @@ def test_inception_architecture_shapes(rng):
     from contrad_tpu.evaluate.inception import InceptionV3FID
 
     model = InceptionV3FID()
-    x = jnp.zeros((2, 32, 32, 3))
-    variables = model.init(rng, x)
-    pool3, logits = model.apply(variables, x)
-    assert pool3.shape == (2, 2048)
-    assert logits.shape == (2, 1008)
+    x = jnp.zeros((1, 32, 32, 3))
+    # jit both: the eager 100-layer init/apply is ~12 s of dispatch each on
+    # this box, and the compiled programs land in the persistent cache
+    variables = jax.jit(model.init)(rng, x)
+    pool3, logits = jax.jit(model.apply)(variables, x)
+    assert pool3.shape == (1, 2048)
+    assert logits.shape == (1, 1008)
 
 
 def test_checkpoint_conversion_shapes(rng):
@@ -179,7 +181,7 @@ def test_checkpoint_conversion_shapes(rng):
     )
 
     model = InceptionV3FID()
-    variables = model.init(rng, jnp.zeros((1, 32, 32, 3)))
+    variables = jax.jit(model.init)(rng, jnp.zeros((1, 32, 32, 3)))
 
     # Build a fake torch state_dict with the right names/shapes from the tree.
     state_dict = {}
@@ -266,8 +268,10 @@ def test_embed_and_logits_fn_random_weights(rng, monkeypatch):
 
     from contrad_tpu.evaluate import inception as inc
 
+    import jax
+
     model = inc.InceptionV3FID()
-    variables = model.init(rng, jnp.zeros((1, 16, 16, 3)))
+    variables = jax.jit(model.init)(rng, jnp.zeros((1, 16, 16, 3)))
     monkeypatch.setattr(inc, "load_inception_variables", lambda path=None: variables)
 
     embed = inc.get_inception_embed_fn()

@@ -53,7 +53,7 @@ def test_sg_linear_blocks_backbone_grads(sndcgan_pair, rng):
     GAN-head loss must produce zero gradient on the backbone."""
     _, d = sndcgan_pair
     x = jax.random.uniform(rng, (4,) + IMG)
-    variables = d.init(rng, x, train=True)
+    variables = jax.jit(lambda r, xx: d.init(r, xx, train=True))(rng, x)
     params = variables["params"]
     state = {"spectral": variables["spectral"]}
 
@@ -62,7 +62,8 @@ def test_sg_linear_blocks_backbone_grads(sndcgan_pair, rng):
                                 sg_linear=sg, mutable=[])
         return jnp.sum(score)
 
-    g_sg = jax.grad(lambda p: head_loss(p, True))(params)
+    # jit: eager per-primitive dispatch of grad-of-D is ~17 s on this box
+    g_sg = jax.jit(jax.grad(lambda p: head_loss(p, True)))(params)
     backbone_norm = sum(
         float(jnp.abs(v).sum()) for v in jax.tree.leaves(g_sg["backbone"]))
     head_norm = sum(
@@ -70,7 +71,7 @@ def test_sg_linear_blocks_backbone_grads(sndcgan_pair, rng):
     assert backbone_norm == 0.0, "sg_linear must stop grads into the backbone"
     assert head_norm > 0.0, "the GAN head itself must still receive grads"
 
-    g_nosg = jax.grad(lambda p: head_loss(p, False))(params)
+    g_nosg = jax.jit(jax.grad(lambda p: head_loss(p, False)))(params)
     backbone_norm2 = sum(
         float(jnp.abs(v).sum()) for v in jax.tree.leaves(g_nosg["backbone"]))
     assert backbone_norm2 > 0.0
@@ -79,7 +80,7 @@ def test_sg_linear_blocks_backbone_grads(sndcgan_pair, rng):
 def test_projection_grads_reach_backbone(sndcgan_pair, rng):
     _, d = sndcgan_pair
     x = jax.random.uniform(rng, (4,) + IMG)
-    variables = d.init(rng, x, train=True)
+    variables = jax.jit(lambda r, xx: d.init(r, xx, train=True))(rng, x)
     params = variables["params"]
     state = {"spectral": variables["spectral"]}
 
@@ -88,7 +89,7 @@ def test_projection_grads_reach_backbone(sndcgan_pair, rng):
                               sg_linear=True, mutable=[])
         return jnp.sum(aux["projection"] ** 2) + jnp.sum(aux["projection2"] ** 2)
 
-    g = jax.grad(proj_loss)(params)
+    g = jax.jit(jax.grad(proj_loss))(params)
     backbone_norm = sum(
         float(jnp.abs(v).sum()) for v in jax.tree.leaves(g["backbone"]))
     assert backbone_norm > 0.0
@@ -128,8 +129,9 @@ def test_snresnet18(rng):
 
     d = DSnresnet18(mlp_linear=True, d_hidden=64)
     x = jax.random.uniform(rng, (2, 32, 32, 3))
-    variables = d.init(rng, x, train=True)
-    (score, aux), _ = d.apply(variables, x, train=True, mutable=["spectral"])
+    variables = jax.jit(lambda r, xx: d.init(r, xx, train=True))(rng, x)
+    (score, aux), _ = jax.jit(lambda v, xx: d.apply(
+        v, xx, train=True, mutable=["spectral"]))(variables, x)
     assert score.shape == (2, 1)
     assert aux["penultimate"].shape == (2, 512)
     assert aux["projection"].shape == (2, 128)

@@ -222,11 +222,12 @@ def test_sampling(devices):
 def test_bf16_compute_dtype(devices):
     """Models with dtype=bfloat16: heads/losses stay f32, metrics finite."""
     import jax.numpy as jnp
-    from contrad_tpu.models import get_architecture
 
-    g, d = get_architecture("sndcgan", IMG, dtype=jnp.bfloat16)
-    # shrink for test speed
-    g = g.replace(ngf=8, nz=16) if hasattr(g, "replace") else g
+    # small direct instances (same dtype plumbing as get_architecture(...,
+    # dtype=...), which is covered by test_models.py registry tests)
+    g = GSndcgan(image_size=IMG, ngf=8, nz=16, dtype=jnp.bfloat16)
+    d = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True, d_hidden=32,
+                 dtype=jnp.bfloat16)
     g_opt = make_optimizer(2e-4, (0.5, 0.999))
     d_opt = make_optimizer(2e-4, (0.5, 0.999))
     trainer = GANTrainer(
@@ -252,9 +253,11 @@ def test_conditional_training_step(mode, devices):
     receive gradients from real labels, and the step stays finite — the one
     latent BaseDiscriminator capability (reference base.py:107-130) made
     runnable."""
-    from contrad_tpu.models import get_architecture
-
-    g, d = get_architecture("sndcgan", IMG, n_classes=10)
+    # small direct instances; the registry's n_classes plumbing is covered by
+    # test_models.py / test_data_config.py
+    g = GSndcgan(image_size=IMG, ngf=8, nz=16)
+    d = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True, d_hidden=32,
+                 n_classes=10)
     g_opt = make_optimizer(2e-4, (0.5, 0.999))
     d_opt = make_optimizer(2e-4, (0.5, 0.999))
     trainer = GANTrainer(

@@ -174,19 +174,30 @@ def test_minibatch_stddev(np_rng):
 def test_generator_shapes(rng):
     from contrad_tpu.models.stylegan2 import GStylegan2
 
+    # real small32 widths on purpose: certifies the registry model's shapes
     g = GStylegan2(size=32, n_mlp=2, small32=True)
-    z = g.sample_latent(rng, 2)
-    assert z.shape == (2, 512)
-    variables = g.init({"params": rng, "noise": rng}, z, train=True)
-    out = g.apply(variables, z, train=True, rngs={"noise": rng})
-    assert out.shape == (2, 32, 32, 3)
-    out_eval = g.apply(variables, z, train=False, rngs={"noise": rng})
+    z = g.sample_latent(rng, 1)
+    assert z.shape == (1, 512)
+    variables = jax.jit(lambda r, zz: g.init({"params": r, "noise": r}, zz,
+                                             train=True))(rng, z)
+    apply_t = jax.jit(lambda v, zz, r: g.apply(v, zz, train=True,
+                                               rngs={"noise": r}))
+    out = apply_t(variables, z, rng)
+    assert out.shape == (1, 32, 32, 3)
+    out_eval = jax.jit(lambda v, zz, r: g.apply(v, zz, train=False,
+                                                rngs={"noise": r}))(
+        variables, z, rng)
     assert float(out_eval.min()) >= 0.0 and float(out_eval.max()) <= 1.0
 
 
-def test_generator_style_mixing_changes_output(rng):
+def test_generator_style_mixing_changes_output(rng, monkeypatch):
+    import contrad_tpu.models.stylegan2.generator as gmod
     from contrad_tpu.models.stylegan2 import GStylegan2
 
+    # width-independent property; tiny channels (the full map is 512-wide at
+    # low res regardless of channel_multiplier, ~13 s of CPU execution)
+    monkeypatch.setattr(gmod, "stylegan2_channels",
+                        lambda *a, **k: {4: 16, 8: 16, 16: 16, 32: 16})
     g = GStylegan2(size=16, n_mlp=2, small32=False, channel_multiplier=0.25)
     z = g.sample_latent(rng, 4)
     variables = g.init({"params": rng, "noise": rng}, z, train=True)
@@ -202,23 +213,28 @@ def test_generator_style_mixing_changes_output(rng):
 def test_discriminator_protocol(rng):
     from contrad_tpu.models.stylegan2 import DStylegan2
 
+    # real small32 widths on purpose: certifies the registry penultimate dim
     d = DStylegan2(size=32, small32=True, mlp_linear=True, d_hidden=64)
     x = jax.random.uniform(rng, (4, 32, 32, 3))
-    variables = d.init(rng, x, train=True)
-    score, aux = d.apply(variables, x, train=True)
+    variables = jax.jit(lambda r, xx: d.init(r, xx, train=True))(rng, x)
+    score, aux = jax.jit(lambda v, xx: d.apply(v, xx, train=True))(variables, x)
     assert score.shape == (4, 1)
     assert aux["penultimate"].shape == (4, 512 * 4 * 4)
     assert "spectral" not in variables  # no SN in StyleGAN2 D
 
 
-def test_plain_and_skip_discriminators(rng):
+def test_plain_and_skip_discriminators(rng, monkeypatch):
+    import contrad_tpu.models.stylegan2.discriminator as dmod
     from contrad_tpu.models.stylegan2 import ResidualDiscriminator, SkipDiscriminator
 
+    # shape-only coverage of the two non-registry variants; width-independent
+    monkeypatch.setattr(dmod, "stylegan2_channels",
+                        lambda *a, **k: {4: 16, 8: 16, 16: 16, 32: 16})
     x = jax.random.uniform(rng, (4, 32, 32, 3))
     for cls in (ResidualDiscriminator, SkipDiscriminator):
         d = cls(size=32, small32=True)
-        variables = d.init(rng, x, train=True)
-        out = d.apply(variables, x, train=True)
+        variables = jax.jit(lambda r, xx: d.init(r, xx, train=True))(rng, x)
+        out = jax.jit(lambda v, xx: d.apply(v, xx, train=True))(variables, x)
         assert out.shape == (4, 1), cls.__name__
 
 
@@ -233,12 +249,22 @@ def test_registry_stylegan2():
 
 # ------------------------------------------------------------ trainer
 
-def test_stylegan2_trainer_step_with_r1(devices):
+def test_stylegan2_trainer_step_with_r1(devices, monkeypatch):
+    import contrad_tpu.models.stylegan2.discriminator as dmod
+    import contrad_tpu.models.stylegan2.generator as gmod
     from contrad_tpu.augment import get_augment
     from contrad_tpu.models.stylegan2 import DStylegan2, GStylegan2
     from contrad_tpu.training.state import create_train_state, make_optimizer
     from contrad_tpu.training.step import StyleGAN2Trainer
     from contrad_tpu.parallel.mesh import get_mesh
+
+    # channel_multiplier only shrinks the high-res levels; the <=32px levels
+    # of the full map are 512-wide regardless, which makes this step ~2 min
+    # of pure CPU execution. Shrink the whole map — the R1/lazy-reg/EMA/style
+    # -mix control flow being certified is width-independent.
+    tiny = {4: 16, 8: 16, 16: 16, 32: 16}
+    monkeypatch.setattr(gmod, "stylegan2_channels", lambda *a, **k: dict(tiny))
+    monkeypatch.setattr(dmod, "stylegan2_channels", lambda *a, **k: dict(tiny))
 
     size = 16
     g = GStylegan2(size=size, n_mlp=2, small32=False, channel_multiplier=0.25)
