@@ -10,6 +10,7 @@ the reference's GPU input-bound at 512x512.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 from typing import Tuple
 
 import numpy as np
@@ -30,32 +31,42 @@ def _list_images(folder: str):
 
 def _cache_path(folder: str, image_size: Tuple[int, int, int]) -> str:
     h, w, c = image_size
-    safe = folder.rstrip("/").replace("/", "_").strip("_")
     return os.path.join(os.path.dirname(folder.rstrip("/")),
                         f".cache_{os.path.basename(folder.rstrip('/'))}_{h}x{w}.npy")
 
 
-def load_image_folder(folder: str, image_size: Tuple[int, int, int]) -> ArrayDataset:
+def load_image_folder(folder: str, image_size: Tuple[int, int, int],
+                      workers: int = 8) -> ArrayDataset:
     if not os.path.isdir(folder):
         raise FileNotFoundError(
             f"image folder not found: {folder} (set $DATA_DIR appropriately)")
     h, w, c = image_size
-    cache = _cache_path(folder, image_size)
-    if os.path.exists(cache):
-        images = np.load(cache, mmap_mode="r")
-        return ArrayDataset(images)
-
-    from PIL import Image  # deferred: eval-only dependency
-
     files = _list_images(folder)
     if not files:
         raise FileNotFoundError(f"no images under {folder}")
+    cache = _cache_path(folder, image_size)
+    if os.path.exists(cache):
+        images = np.load(cache, mmap_mode="r")
+        if images.shape == (len(files), h, w, c):
+            return ArrayDataset(images)
+        # folder contents changed since the cache was built -> rebuild
+        del images
+        os.remove(cache)
+
+    from PIL import Image  # deferred: eval-only dependency
+
     images = np.lib.format.open_memmap(
         cache, mode="w+", dtype=np.uint8, shape=(len(files), h, w, c))
-    for i, path in enumerate(files):
+
+    def _decode(i_path):
+        i, path = i_path
         img = Image.open(path).convert("RGB")
         if img.size != (w, h):
             img = img.resize((w, h), Image.BILINEAR)
         images[i] = np.asarray(img, dtype=np.uint8)
+
+    # one-time build; PIL decode releases the GIL, so threads scale it
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        list(pool.map(_decode, enumerate(files)))
     images.flush()
     return ArrayDataset(np.load(cache, mmap_mode="r"))

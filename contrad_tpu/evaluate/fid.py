@@ -154,26 +154,36 @@ class FIDScore:
                  embed_fn: Optional[EmbedFn] = None,
                  stats_dir: Optional[str] = None, batch_size: int = 50,
                  embedder: str = "inception"):
-        if embed_fn is None:
-            embed_fn = get_embed_fn(embedder)
         if embedder != "inception" and stats_dir is None:
             # never mix debug-embedder stats with real inception stats
             stats_dir = os.path.join(STATS_DIR, embedder)
         self.dataset = dataset
         self.size = size
         self.n_avg = n_avg
-        self.embed_fn = embed_fn
+        self._embed_fn = embed_fn  # lazy: see the embed_fn property
+        self.embedder = embedder
         self.batch_size = batch_size
 
         path = stats_path(dataset, stats_dir)
         if not os.path.exists(path):
-            path = precompute_stats(dataset, embed_fn, stats_dir, batch_size)
+            path = precompute_stats(dataset, self.embed_fn, stats_dir,
+                                    batch_size)
         stats = np.load(path)
         self.ref_mu, self.ref_sigma = stats["mu"], stats["sigma"]
 
         self.history: list = []  # rows: [step, trial_0..trial_{n-1}, mean]
         self.best = float("inf")
         self.is_best = False
+
+    @property
+    def embed_fn(self) -> EmbedFn:
+        """Host-side embedder, resolved on first use. The training CLIs drive
+        :meth:`update` with the mesh-sharded ``feature_fn`` instead, so with
+        cached reference stats the (second) ~100 MB inception load/convert
+        this implies never happens."""
+        if self._embed_fn is None:
+            self._embed_fn = get_embed_fn(self.embedder)
+        return self._embed_fn
 
     def update(self, step: int, sampler: Optional[SamplerFn] = None,
                feature_fn: Optional[Callable] = None) -> float:
@@ -226,6 +236,13 @@ class FIDScore:
 
     def load_state_dict(self, state: dict) -> None:
         hist = np.asarray(state["history"], dtype=np.float64)
-        self.history = [list(map(float, row)) for row in hist]
+        # History rows are [step, fid_0..fid_{n_avg-1}, mean]; a resume with a
+        # different --n_eval_avg would make the restored rows ragged against
+        # new appends (and crash state_dict's asarray). Keep `best` — the
+        # ckpt/best gate — and drop only the incompatible trajectory rows.
+        if hist.ndim == 2 and hist.shape[1] == self.n_avg + 2:
+            self.history = [list(map(float, row)) for row in hist]
+        else:
+            self.history = []
         self.best = float(state["best"])
         self.is_best = False

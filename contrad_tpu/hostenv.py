@@ -1,0 +1,81 @@
+"""Process/host environment helpers that must run BEFORE jax initializes.
+
+Deliberately jax-free: every consumer (the training CLIs, tests/conftest.py,
+``__graft_entry__``, the multi-host spawn harness) imports this while shaping
+``XLA_FLAGS`` / rendezvous variables for a jax backend that does not exist
+yet — in this process or in one about to be spawned.  The reference's
+counterpart is the env wrangling around its NCCL worker spawn
+(``/root/reference/train_gan.py:38,230-242,328-332``).
+"""
+
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+from typing import Dict, List, Optional, Sequence, Tuple
+
+# Rendezvous env consumed by contrad_tpu.parallel.mesh.init_distributed; a
+# spawned worker must never inherit these from an outer multihost run.
+RENDEZVOUS_VARS = ("CONTRAD_COORDINATOR", "CONTRAD_NUM_PROCESSES",
+                   "CONTRAD_PROCESS_ID")
+
+
+def force_host_device_count(n: int, env: Optional[Dict[str, str]] = None) -> None:
+    """Append ``--xla_force_host_platform_device_count=n`` to ``XLA_FLAGS``
+    (in ``env``, or ``os.environ`` by default) unless a count is already
+    forced.  Must happen before the target process's jax backend initializes —
+    this is how an N-chip mesh is simulated on CPU (SURVEY §4)."""
+    target = os.environ if env is None else env
+    flags = target.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        target["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}").strip()
+
+
+def free_port() -> int:
+    """An OS-assigned free localhost port (for the jax.distributed
+    coordinator)."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def worker_env(devices_per_proc: int, repo: str) -> Dict[str, str]:
+    """Environment for a spawned multihost worker process: exactly
+    ``devices_per_proc`` virtual CPU devices, the repo importable, and any
+    outer rendezvous state scrubbed."""
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={devices_per_proc}")
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    for k in RENDEZVOUS_VARS:
+        env.pop(k, None)
+    return env
+
+
+def spawn_world(cmds_envs: Sequence[Tuple[List[str], Dict[str, str]]],
+                cwd: str, timeout: float = 900) -> List[str]:
+    """Launch one process per ``(cmd, env)``, wait for all, kill stragglers.
+
+    All processes are launched before any is waited on (they must rendezvous
+    with each other).  Raises ``RuntimeError`` with the failing process's
+    output tail if any exits non-zero; returns the per-process outputs
+    (stdout+stderr combined) otherwise."""
+    procs = [subprocess.Popen(cmd, env=env, cwd=cwd, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True)
+             for cmd, env in cmds_envs]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for p, out in zip(procs, outs):
+        if p.returncode != 0:
+            raise RuntimeError(
+                f"worker rc={p.returncode}\n--- output tail ---\n{out[-4000:]}")
+    return outs

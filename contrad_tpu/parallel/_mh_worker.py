@@ -45,12 +45,9 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     # Platform shaping must precede jax backend init.
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags
-            + f" --xla_force_host_platform_device_count={args.devices_per_proc}"
-        ).strip()
+    from contrad_tpu.hostenv import force_host_device_count
+
+    force_host_device_count(args.devices_per_proc)
 
     import jax
 

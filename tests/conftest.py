@@ -6,13 +6,16 @@ train step compiles and runs with real collectives.
 """
 
 import os
+import sys
+
+_REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), os.pardir))
+if _REPO not in sys.path:  # so the suite also works when not run from repo root
+    sys.path.insert(0, _REPO)
+
+from contrad_tpu.hostenv import force_host_device_count  # noqa: E402 (jax-free)
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force off the real TPU: fast, f32-exact
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+force_host_device_count(8)
 # Persistent XLA compilation cache: the suite's cost is dominated by
 # recompiling identical 8-device train-step programs (test_step.py alone was
 # ~9 min cold).  The cache dedups identical programs across tests AND across

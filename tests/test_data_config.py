@@ -281,3 +281,49 @@ def test_make_train_loader_selection_and_resume_epoch(devices, monkeypatch):
     loader = make_train_loader(big, 16, mesh, place_fn=lambda x: x, seed=0)
     assert isinstance(loader, PrefetchIterator)
     loader.close()
+
+
+def test_image_folder_loader(tmp_path):
+    """The CelebA/AFHQ ImageFolder path (reference datasets.py:71-126):
+    decode-once memmap cache, resize to target, cache reuse, and rebuild
+    when the folder contents change."""
+    from PIL import Image
+
+    from contrad_tpu.data.folder import _cache_path, load_image_folder
+
+    folder = tmp_path / "afhq_mini" / "train"
+    folder.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(6):  # mixed sizes: loader must resize to target
+        side = 12 if i % 2 else 20
+        arr = rng.integers(0, 256, size=(side, side, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(folder / f"img_{i}.png")
+
+    ds = load_image_folder(str(folder), (16, 16, 3))
+    assert ds.images.shape == (6, 16, 16, 3)
+    assert ds.images.dtype == np.uint8
+    cache = _cache_path(str(folder), (16, 16, 3))
+    assert os.path.exists(cache)
+
+    # second load: memmap reuse, identical pixels
+    ds2 = load_image_folder(str(folder), (16, 16, 3))
+    np.testing.assert_array_equal(np.asarray(ds.images),
+                                  np.asarray(ds2.images))
+
+    # folder grows -> stale cache detected and rebuilt
+    arr = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    Image.fromarray(arr).save(folder / "img_6.png")
+    ds3 = load_image_folder(str(folder), (16, 16, 3))
+    assert ds3.images.shape == (7, 16, 16, 3)
+    np.testing.assert_array_equal(np.asarray(ds3.images[-1]), arr)
+
+    # a different target size gets its own cache
+    ds4 = load_image_folder(str(folder), (8, 8, 3))
+    assert ds4.images.shape == (7, 8, 8, 3)
+
+    with pytest.raises(FileNotFoundError):
+        load_image_folder(str(tmp_path / "nope"), (16, 16, 3))
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(FileNotFoundError):
+        load_image_folder(str(empty), (16, 16, 3))

@@ -18,52 +18,24 @@ Covered with real process_count == 2:
 
 import json
 import os
-import socket
-import subprocess
 import sys
 import glob
 
 import numpy as np
 import pytest
 
+from contrad_tpu.hostenv import free_port as _free_port
+from contrad_tpu.hostenv import spawn_world, worker_env
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _free_port() -> int:
-    with socket.socket() as s:
-        s.bind(("127.0.0.1", 0))
-        return s.getsockname()[1]
-
-
 def _clean_env(devices_per_proc: int) -> dict:
-    env = dict(os.environ)
-    env["XLA_FLAGS"] = (
-        f"--xla_force_host_platform_device_count={devices_per_proc}")
-    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    for k in ("CONTRAD_COORDINATOR", "CONTRAD_NUM_PROCESSES",
-              "CONTRAD_PROCESS_ID"):
-        env.pop(k, None)
-    return env
+    return worker_env(devices_per_proc, REPO)
 
 
 def _spawn_world(cmds_envs, timeout=900):
-    procs = [subprocess.Popen(cmd, env=env, cwd=REPO,
-                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-                              text=True)
-             for cmd, env in cmds_envs]
-    outs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, (
-            f"worker rc={p.returncode}\n--- output tail ---\n{out[-4000:]}")
-    return outs
+    return spawn_world(cmds_envs, cwd=REPO, timeout=timeout)
 
 
 @pytest.mark.slow

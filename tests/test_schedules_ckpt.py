@@ -176,3 +176,15 @@ def test_eval_state_roundtrip_best_gating(tmp_path):
 
     # no sidecar -> None, trackers untouched (fresh-run semantics)
     assert restore_eval_state(str(tmp_path / "nowhere")) is None
+
+    # resume with a DIFFERENT --n_eval_avg: history rows are now the wrong
+    # width; `best` must survive but the incompatible rows are dropped (a
+    # ragged history would crash state_dict at the next save)
+    fid3 = FIDScore("synthetic_16", size=64, n_avg=3, embedder="moments",
+                    stats_dir=stats_dir)
+    restore_eval_state(logdir, fid=fid3)
+    assert fid3.best == fid.best
+    assert fid3.history == []
+    fid3.update(step=400, sampler=good_sampler)
+    assert len(fid3.history[-1]) == 3 + 2  # [step, t0, t1, t2, mean]
+    save_eval_state(logdir, eval_seed=1, fid=fid3)  # and it round-trips

@@ -45,7 +45,9 @@ python train_gan.py configs/gan/cifar10/c10_b512.toml sndcgan \
                options.fid_size="$FID_SIZE" $EXTRA_OVERRIDES
 
 echo "== [4/4] FID trajectory"
-CSV=$(find "$LOGROOT" -name 'results_fid_*.csv' -newermt '-1 day' | sort | tail -1)
+# most-recently-written CSV = this run's (logdir suffixes are random, so a
+# path sort could pick an older run under the same LOGROOT)
+CSV=$(find "$LOGROOT" -name 'results_fid_*.csv' -printf '%T@ %p\n' | sort -g | tail -1 | cut -d' ' -f2-)
 if [ -z "$CSV" ]; then echo "no FID CSV found under $LOGROOT"; exit 1; fi
 echo "--- $CSV"
 cat "$CSV"

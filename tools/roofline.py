@@ -86,6 +86,9 @@ def main():
             a["category"] = info["category"]
 
     tot_dur_s = sum(a["dur_ps"] for a in ops.values()) / 1e12
+    if tot_dur_s == 0:
+        raise SystemExit("no XLA op events in trace — was it captured while "
+                         "steps were actually running on the device?")
     tot_flops = sum(a["flops"] for a in ops.values())
     tot_bytes = sum(a["bytes"] for a in ops.values())
     n = args.steps

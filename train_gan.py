@@ -84,10 +84,9 @@ def parse_args():
 def main():
     P = parse_args()
     if P.platform == "cpu":
-        flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8").strip()
+        from contrad_tpu.hostenv import force_host_device_count
+
+        force_host_device_count(8)
 
     import jax  # deferred so --platform can set env first
 
@@ -236,6 +235,7 @@ def main():
                 trainer, embedder=P.fid_embed,
                 batch_per_call=min(512, opt.fid_size))
         except Exception as e:  # missing inception weights / stats
+            fid = None  # a half-built tracker must not reach the eval loop
             logger.log(f"FID disabled: {e}")
 
     if P.resume:
