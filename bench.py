@@ -15,6 +15,13 @@ regressions in those paths are driver-visible too):
     (ops/packed.py); guards the packed-path optimizations.
   * stylegan2_32_b64_f32_ms   — the small32 StyleGAN2+ContraD step
     (EXPERIMENTS.md:27-28); guards the modulated-conv/upfirdn2d stack.
+  * sndcgan_32_b512_bf16_imgs_s — the flagship step with bf16 activation
+    storage: the step is HBM-bandwidth-bound at f32 (BASELINE.md round-3
+    roofline), so this is the production configuration.
+  * fid10k_feat_s — wall time to produce 10k FID features through the
+    mesh-sharded fused sampler+embedder (evaluate/sharded.py, moments
+    embedder); guards the 12x eval-loop win over the reference's batch-50
+    host loop.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "secondary"}.
 
@@ -26,7 +33,20 @@ against V100 fp32 at a generous 35% utilization => ~500 imgs/sec.
 """
 
 import json
+import os
 import time
+
+# Persistent XLA compile cache (same store the test suite uses,
+# tests/conftest.py): the bench's wall time is compile-dominated through the
+# tunneled device (~5 min of compiles vs ~1 min of measured steps), and the
+# programs are identical run-to-run.
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 V100_BASELINE_IMGS_PER_SEC = 500.0
 
@@ -38,6 +58,9 @@ TRIALS = 3  # first trial after warmup can still be noisy on the axon tunnel
 
 
 def _time_steps(trainer, state, batch, steps, trials, warmup=3, **step_kwargs):
+    """Returns (best s/step, final live state). The jitted step donates its
+    input state buffers, so callers must keep using the RETURNED state — the
+    one passed in is deleted after the first step."""
     import jax
 
     for _ in range(warmup):
@@ -50,10 +73,11 @@ def _time_steps(trainer, state, batch, steps, trials, warmup=3, **step_kwargs):
             state, metrics = trainer.train_step(state, batch, **step_kwargs)
         jax.block_until_ready((state.g_params, metrics))
         best = min(best, (time.perf_counter() - t0) / steps)
-    return best
+    return best, state
 
 
-def bench_flagship():
+def bench_flagship(dtype=None, steps=MEASURE_STEPS, trials=TRIALS,
+                   return_trainer=False):
     import jax
     import numpy as np
 
@@ -62,7 +86,8 @@ def bench_flagship():
     from contrad_tpu.parallel import get_mesh
     from contrad_tpu.training import GANTrainer, create_train_state, make_optimizer
 
-    generator, discriminator = get_architecture("sndcgan", IMAGE_SIZE)
+    kwargs = {} if dtype is None else {"dtype": dtype}
+    generator, discriminator = get_architecture("sndcgan", IMAGE_SIZE, **kwargs)
     g_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
     d_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
     mesh = get_mesh()
@@ -82,9 +107,31 @@ def bench_flagship():
     data = rng.integers(0, 256, size=(BATCH,) + IMAGE_SIZE, dtype=np.uint8)
     batch = trainer.place_batch(data)
 
-    best_dt = _time_steps(trainer, state, batch, MEASURE_STEPS, TRIALS,
-                          warmup=WARMUP_STEPS)
-    return BATCH / best_dt / n_chips
+    best_dt, state = _time_steps(trainer, state, batch, steps, trials,
+                                 warmup=WARMUP_STEPS)
+    throughput = BATCH / best_dt / n_chips
+    if return_trainer:
+        return throughput, trainer, state
+    return throughput
+
+
+def bench_fid_features(trainer, state, n: int = 10000, trials: int = 2) -> float:
+    """Wall seconds to produce n FID features via the mesh-sharded fused
+    sampler+embedder (one jitted program, features-only readback)."""
+    import time as _t
+
+    from contrad_tpu.evaluate.sharded import make_feature_sampler
+
+    feature_fn = make_feature_sampler(trainer, embedder="moments",
+                                      batch_per_call=512)
+    feature_fn(state, 512, seed=0)  # compile
+    best = float("inf")
+    for t in range(trials):
+        t0 = _t.perf_counter()
+        feats = feature_fn(state, n, seed=t)
+        best = min(best, _t.perf_counter() - t0)
+    assert feats.shape[0] == n
+    return best
 
 
 def bench_stylegan2(image_size, arch, batch, aug, dtype, steps=15, trials=2):
@@ -109,23 +156,38 @@ def bench_stylegan2(image_size, arch, batch, aug, dtype, steps=15, trials=2):
     data = np.random.default_rng(0).integers(
         0, 256, size=(batch,) + image_size, dtype=np.uint8)
     placed = trainer.place_batch(data)
-    best = _time_steps(trainer, state, placed, steps, trials,
-                       ema_decay=0.99, do_r1=False)
+    best, _ = _time_steps(trainer, state, placed, steps, trials,
+                          ema_decay=0.99, do_r1=False)
     return best * 1000.0  # ms/step
 
 
 def main():
+    import sys
+
     import jax.numpy as jnp
 
-    imgs_per_sec_per_chip = bench_flagship()
-    secondary = {
-        "stylegan2_32_b64_f32_ms": round(bench_stylegan2(
-            (32, 32, 3), "stylegan2", 64, "simclr", jnp.float32,
-            steps=30, trials=2), 1),
-        "stylegan2_512_b8_bf16_ms": round(bench_stylegan2(
-            (512, 512, 3), "stylegan2_512", 8, "simclr_hq", jnp.bfloat16,
-            steps=15, trials=2), 1),
-    }
+    t_start = time.perf_counter()
+
+    def _mark(label):
+        print(f"[bench +{time.perf_counter() - t_start:6.1f}s] {label}",
+              file=sys.stderr, flush=True)
+
+    imgs_per_sec_per_chip, trainer, state = bench_flagship(return_trainer=True)
+    _mark("flagship f32 done")
+    secondary = {}
+    secondary["fid10k_feat_s"] = round(bench_fid_features(trainer, state), 2)
+    _mark("fid10k done")
+    secondary["sndcgan_32_b512_bf16_imgs_s"] = round(bench_flagship(
+        dtype=jnp.bfloat16, steps=25, trials=2), 1)
+    _mark("flagship bf16 done")
+    secondary["stylegan2_32_b64_f32_ms"] = round(bench_stylegan2(
+        (32, 32, 3), "stylegan2", 64, "simclr", jnp.float32,
+        steps=30, trials=2), 1)
+    _mark("stylegan2 32 done")
+    secondary["stylegan2_512_b8_bf16_ms"] = round(bench_stylegan2(
+        (512, 512, 3), "stylegan2_512", 8, "simclr_hq", jnp.bfloat16,
+        steps=15, trials=2), 1)
+    _mark("stylegan2 512 done")
     print(json.dumps({
         "metric": "sndcgan_contrad_cifar10_b512_train_throughput",
         "value": round(imgs_per_sec_per_chip, 1),

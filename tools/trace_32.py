@@ -24,11 +24,14 @@ def main():
     p.add_argument("--steps", default=5, type=int)
     p.add_argument("--top", default=40, type=int)
     p.add_argument("--out", default="/tmp/trace32")
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"])
     args = p.parse_args()
 
     IMG = (32, 32, 3)
     B = 512
-    g, d = get_architecture("sndcgan", IMG)
+    import jax.numpy as jnp
+    g, d = get_architecture("sndcgan", IMG, dtype=getattr(jnp, args.dtype))
     go = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
     do = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
     tr = GANTrainer(g, d, mode="contrad", augment_fn=get_augment("simclr"),
