@@ -44,7 +44,8 @@ def hsv2rgb(hsv: jax.Array) -> jax.Array:
     s = hsv[..., 1:2]
     v = hsv[..., 2:3]
     c = v * s
-    n = jnp.array([5.0, 3.0, 1.0]).reshape((1,) * (hsv.ndim - 1) + (3,))
+    n = jnp.array([5.0, 3.0, 1.0],
+                  dtype=hsv.dtype).reshape((1,) * (hsv.ndim - 1) + (3,))
     k = jnp.mod(n + h * 6.0, 6.0)
     t = jnp.clip(jnp.minimum(k, 4.0 - k), 0.0, 1.0)
     return v - c * t
@@ -111,7 +112,7 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augme
             return jnp.clip(x, 0.0, 1.0)
         n = x.shape[0]
         factor = jax.random.uniform(rng, (n, 1, 1, 1), minval=c_range[0],
-                                    maxval=c_range[1])
+                                    maxval=c_range[1]).astype(x.dtype)
         means = jnp.mean(x, axis=(1, 2), keepdims=True)  # per-channel mean
         return jnp.clip((x - means) * factor + means, 0.0, 1.0)
 
@@ -125,7 +126,10 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augme
                if s_range else jnp.ones(shape))
         f_v = (jax.random.uniform(r_v, shape, minval=b_range[0], maxval=b_range[1])
                if b_range else jnp.ones(shape))
-        return _hsv_adjust(x, f_h, f_s, f_v)
+        # dtype-preserving: a bf16 batch must not be silently promoted to f32
+        # by f32 jitter factors (the augment chain is HBM-bound in the step).
+        return _hsv_adjust(x, f_h.astype(x.dtype), f_s.astype(x.dtype),
+                           f_v.astype(x.dtype))
 
     def fn(rng, x):
         r_order, r_c, r_hsv = jax.random.split(rng, 3)
@@ -143,9 +147,8 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augme
 
 def grayscale() -> Augment:
     """Luminance-weighted grayscale (reference RandomColorGrayLayer)."""
-    w = jnp.asarray(_GRAY_WEIGHTS)
-
     def fn(rng, x):
+        w = jnp.asarray(_GRAY_WEIGHTS, dtype=x.dtype)
         l = jnp.sum(x * w, axis=-1, keepdims=True)
         return jnp.broadcast_to(l, x.shape)
 
@@ -156,7 +159,8 @@ def gaussian_noise(sigma: float = 0.12) -> Augment:
     """Additive Gaussian noise, clamped (reference Gaussian layer)."""
 
     def fn(rng, x):
-        return jnp.clip(x + jax.random.normal(rng, x.shape) * sigma, 0.0, 1.0)
+        noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        return jnp.clip(x + noise * sigma, 0.0, 1.0)
 
     return fn
 

@@ -16,19 +16,22 @@ Augment = Callable[[jax.Array, jax.Array], jax.Array]
 
 def _rand_brightness(rng, x):
     n = x.shape[0]
-    return x + (jax.random.uniform(rng, (n, 1, 1, 1)) - 0.5)
+    u = jax.random.uniform(rng, (n, 1, 1, 1)).astype(x.dtype)
+    return x + (u - 0.5)
 
 
 def _rand_saturation(rng, x):
     n = x.shape[0]
+    u = jax.random.uniform(rng, (n, 1, 1, 1)).astype(x.dtype)
     x_mean = jnp.mean(x, axis=-1, keepdims=True)
-    return (x - x_mean) * (jax.random.uniform(rng, (n, 1, 1, 1)) * 2.0) + x_mean
+    return (x - x_mean) * (u * 2.0) + x_mean
 
 
 def _rand_contrast(rng, x):
     n = x.shape[0]
+    u = jax.random.uniform(rng, (n, 1, 1, 1)).astype(x.dtype)
     x_mean = jnp.mean(x, axis=(1, 2, 3), keepdims=True)
-    return (x - x_mean) * (jax.random.uniform(rng, (n, 1, 1, 1)) + 0.5) + x_mean
+    return (x - x_mean) * (u + 0.5) + x_mean
 
 
 def _rand_translation(rng, x, ratio=0.125):

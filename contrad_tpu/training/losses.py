@@ -25,8 +25,15 @@ def nt_xent(
     temperature: float = 0.1,
     normalize: bool = False,
 ) -> jax.Array:
-    """SimCLR NT-Xent over two views (reference ``criterion.py:24-45``)."""
+    """SimCLR NT-Xent over two views (reference ``criterion.py:24-45``).
+
+    Loss math is always f32: under a bf16 compute dtype the projections
+    arrive bf16, and log-softmax over a 2Nx2N similarity matrix with a -5e4
+    diagonal is not bf16-safe. The cast is a no-op in f32 mode and the
+    matrices are tiny (2N x d)."""
     assert out1.shape[0] == out2.shape[0]
+    out1 = out1.astype(jnp.float32)
+    out2 = out2.astype(jnp.float32)
     if normalize:
         out1 = l2_normalize_rows(out1)
         out2 = l2_normalize_rows(out2)
@@ -51,7 +58,11 @@ def supcon_fake(
 ) -> jax.Array:
     """Supervised-contrastive loss treating fakes as one class
     (reference ``contrad.py:8-32``): rows restricted to the fakes, positives =
-    the other fakes, negatives = both real views + fakes."""
+    the other fakes, negatives = both real views + fakes. f32 loss math
+    (see nt_xent)."""
+    out1 = out1.astype(jnp.float32)
+    out2 = out2.astype(jnp.float32)
+    others = others.astype(jnp.float32)
     n = out1.shape[0]
     m = others.shape[0]
     outputs = jnp.concatenate([out1, out2, others], axis=0)  # (2N+M, d)
@@ -74,7 +85,10 @@ def supcon_fake(
 
 
 def gan_d_loss(d_real: jax.Array, d_gen: jax.Array, loss_type: str) -> jax.Array:
-    """Discriminator GAN loss (reference ``std.py:14-25``)."""
+    """Discriminator GAN loss (reference ``std.py:14-25``). f32 loss math
+    (see nt_xent)."""
+    d_real = d_real.astype(jnp.float32)
+    d_gen = d_gen.astype(jnp.float32)
     if loss_type == "nonsat":
         return jnp.mean(jax.nn.softplus(d_gen)) + jnp.mean(jax.nn.softplus(-d_real))
     if loss_type == "wgan":
@@ -88,7 +102,8 @@ def gan_d_loss(d_real: jax.Array, d_gen: jax.Array, loss_type: str) -> jax.Array
 
 def gan_g_loss(d_gen: jax.Array, loss_type: str) -> jax.Array:
     """Generator GAN loss (reference ``std.py:40-48``): nonsat and lsgan have
-    dedicated forms, everything else uses -E[d_gen]."""
+    dedicated forms, everything else uses -E[d_gen]. f32 loss math."""
+    d_gen = d_gen.astype(jnp.float32)
     if loss_type == "nonsat":
         return jnp.mean(jax.nn.softplus(-d_gen))
     if loss_type == "lsgan":

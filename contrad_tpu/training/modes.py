@@ -169,7 +169,7 @@ def _simclr_only_loss_D(ctx, d_params, d_state, images, gen_images, rng,
     real_images = jnp.concatenate([images, images], axis=0)
     (_, aux), new_state = ctx.d_apply(
         d_params, d_state, ctx.augment_fn(rng, real_images), train=True)
-    views = l2_normalize_rows(aux["projection"])
+    views = l2_normalize_rows(aux["projection"].astype(jnp.float32))
     n = images.shape[0]
     view1, view2 = views[:n], views[n:]
     simclr_loss = nt_xent(view1, view2, temperature=ctx.temp)
@@ -193,11 +193,13 @@ def _contrad_loss_D(ctx, d_params, d_state, images, gen_images, rng,
         y=_cat_y(y_real, y_gen, "real", "real", "gen"), train=True,
         sg_linear=True)
 
-    views = l2_normalize_rows(aux["projection"])
+    # Projections normalize and contrast in f32 (they may arrive bf16 under
+    # a bf16 compute dtype; the loss matrices are tiny).
+    views = l2_normalize_rows(aux["projection"].astype(jnp.float32))
     view1, view2 = views[:n], views[n : 2 * n]
     simclr_loss = nt_xent(view1, view2, temperature=ctx.temp)
 
-    reals = l2_normalize_rows(aux["projection2"])
+    reals = l2_normalize_rows(aux["projection2"].astype(jnp.float32))
     real1, real2, fakes = reals[:n], reals[n : 2 * n], reals[2 * n :]
     sup_loss = supcon_fake(real1, real2, fakes, temperature=ctx.temp)
 

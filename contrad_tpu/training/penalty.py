@@ -38,7 +38,7 @@ def gradient_penalty(d_apply, d_params, d_state, images, gen_images, rng, lbd,
         return jnp.sum(d)
 
     grads = jax.grad(d_sum)(interp)  # per-sample grads since D outputs are per-sample
-    grads = grads.reshape(n, -1)
+    grads = grads.reshape(n, -1).astype(jnp.float32)  # f32 norm under bf16
     norms = jnp.linalg.norm(grads, axis=1)
     return lbd * jnp.mean((norms - 1.0) ** 2)
 
@@ -49,6 +49,8 @@ def consistency(d_apply, d_params, d_state, images, d_real, augment_fn, rng,
         d_params, d_state, augment_fn(rng, images), y=y, train=True,
         update_state=False
     )
+    d_real = d_real.astype(jnp.float32)
+    d_aug = d_aug.astype(jnp.float32)
     return lbd * jnp.mean((d_real - d_aug) ** 2)
 
 
@@ -61,6 +63,9 @@ def balanced_consistency(
         update_state=False
     )
     n = all_images.shape[0] // 2
+    d_aug_all = d_aug_all.astype(jnp.float32)
+    d_real = d_real.astype(jnp.float32)
+    d_gen = d_gen.astype(jnp.float32)
     d_aug_real, d_aug_gen = d_aug_all[:n], d_aug_all[n:]
     reg_real = jnp.mean((d_real - d_aug_real) ** 2)
     reg_gen = jnp.mean((d_gen - d_aug_gen) ** 2)

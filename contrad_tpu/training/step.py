@@ -76,12 +76,16 @@ def make_g_apply(generator) -> Callable:
     return g_apply
 
 
-def _to_float(images: jax.Array) -> jax.Array:
-    """uint8 [0,255] or float [0,1] -> float32 [0,1]. Keeping batches uint8
-    until inside the step quarters host->HBM traffic."""
+def _to_float(images: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """uint8 [0,255] or float [0,1] -> float [0,1] in ``dtype``. Keeping
+    batches uint8 until inside the step quarters host->HBM traffic. Under a
+    bf16 compute dtype the images convert straight to bf16 so the whole
+    augment chain runs at half the HBM bytes (the 32^2 flagship step is
+    bandwidth-bound, BASELINE.md round-3 roofline); loss math stays f32
+    (losses.py)."""
     if images.dtype == jnp.uint8:
-        return images.astype(jnp.float32) / 255.0
-    return images.astype(jnp.float32)
+        return images.astype(dtype) / 255.0
+    return images.astype(dtype)
 
 
 class GANTrainer:
@@ -126,6 +130,14 @@ class GANTrainer:
         # unconditional, as in the reference).
         self.n_classes = int(getattr(discriminator, "n_classes", 1) or 1)
         self.conditional = self.n_classes > 1
+        # The step's image dtype: the D's compute dtype. bf16 models augment
+        # and discriminate in bf16 (halves the activation/augment HBM
+        # traffic); f32 models are unchanged. Protocol Ds carry the dtype on
+        # their backbone (models/base.py Discriminator wrapper).
+        self.image_dtype = jnp.dtype(
+            getattr(discriminator, "dtype", None)
+            or getattr(getattr(discriminator, "backbone", None), "dtype", None)
+            or jnp.float32)
 
         self.g_apply = make_g_apply(generator)
         self.d_apply = make_d_apply(discriminator)
@@ -204,7 +216,7 @@ class GANTrainer:
               labels=None):
         """images: (n_critic * B, H, W, C), uint8 or float in [0,1];
         labels: (n_critic * B,) int class labels (conditional D only)."""
-        images = _to_float(images)
+        images = _to_float(images, self.image_dtype)
         rng = state.rng
         if self.real_aug_fn is not None:
             rng, ra_rng = jax.random.split(rng)
@@ -370,13 +382,13 @@ class StyleGAN2Trainer(GANTrainer):
                                      update_state=False)
             return jnp.sum(d)
 
-        grads = jax.grad(d_sum)(x)
+        grads = jax.grad(d_sum)(x).astype(jnp.float32)  # f32 square-sum
         n = x.shape[0]
         return jnp.mean(jnp.sum(grads.reshape(n, -1) ** 2, axis=1))
 
     def _sg2_step(self, state: GANTrainState, images: jax.Array,
                   ema_decay, do_r1: bool):
-        images = _to_float(images)
+        images = _to_float(images, self.image_dtype)
         rng = state.rng
         if self.real_aug_fn is not None:
             rng, ra_rng = jax.random.split(rng)

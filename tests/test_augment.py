@@ -217,3 +217,44 @@ def test_two_views_are_independent(rng):
     both = jnp.concatenate([x, x], axis=0)
     y = np.asarray(get_augment("simclr")(rng, both))
     assert not np.allclose(y[:8], y[8:])
+
+
+def test_augments_preserve_bf16_dtype(rng):
+    """Under a bf16 compute dtype the train step feeds the augment chain bf16
+    images (step.py _to_float); every registry mode must keep them bf16 —
+    a silent f32 promotion doubles the chain's HBM traffic (the 32^2 flagship
+    step is bandwidth-bound, BASELINE.md round-3 roofline)."""
+    x = _imgs(8).astype(jnp.bfloat16)
+    for mode in ("none", "gaussian", "hflip", "hfrt", "color_jitter", "cutout",
+                 "simclr", "simclr_hq", "simclr_hq_cutout", "diffaug"):
+        y = get_augment(mode)(rng, x)
+        assert y.dtype == jnp.bfloat16, mode
+        assert np.isfinite(np.asarray(y, dtype=np.float32)).all(), mode
+
+
+def test_augment_bf16_close_to_f32(rng):
+    """Same keys, same images: the bf16 pipeline tracks the f32 one to bf16
+    resolution (it is the same math at lower precision, not a different
+    augmentation)."""
+    x32 = _imgs(8)
+    for mode in ("simclr", "diffaug"):
+        fn = get_augment(mode)
+        y32 = np.asarray(fn(rng, x32), dtype=np.float32)
+        y16 = np.asarray(fn(rng, x32.astype(jnp.bfloat16)), dtype=np.float32)
+        # bf16 has ~2-3 decimal digits; augmented values live in [0,1].
+        assert np.abs(y32 - y16).mean() < 0.02, mode
+        assert np.abs(y32 - y16).max() < 0.25, mode
+
+
+def test_augment_bf16_differentiable(rng):
+    """G-phase grads flow through the augment chain in bf16 mode (the G loss
+    augments fakes, modes.py _augmented_loss_G)."""
+    x = _imgs(4).astype(jnp.bfloat16)
+    fn = get_augment("simclr")
+
+    def loss(im):
+        return jnp.sum(fn(rng, im).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert g.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(g, dtype=np.float32)).all()

@@ -235,6 +235,9 @@ def test_bf16_compute_dtype(devices):
         augment_fn=get_augment("hflip"),
         g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
         mesh=get_mesh())
+    # the bf16 backbone dtype must reach the step's image path (the augment
+    # chain runs at half the HBM bytes — step.py _to_float)
+    assert trainer.image_dtype == jnp.bfloat16
     state = trainer.place_state(create_train_state(
         jax.random.PRNGKey(0), g, d, IMG, g_opt, d_opt))
     # params stay f32

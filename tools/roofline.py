@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--steps", type=int, default=5,
                     help="training steps captured in the trace")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--sort", choices=["time", "bytes", "flops"],
+                    default="time",
+                    help="rank the top-K op table by duration, bytes "
+                         "accessed, or FLOPs")
     args = ap.parse_args()
 
     plane = load_tpu_plane(args.trace)
@@ -113,14 +117,17 @@ def main():
               f"mxu {fl/dur_s/1e12/peak_tflops:6.1%}  "
               f"hbm {by/dur_s/1e9/peak_hbm_gbps:6.1%}")
 
-    print(f"\n== top {args.top} ops (per step; roof = max of the two utils) ==")
-    rows = sorted(ops.items(), key=lambda kv: -kv[1]["dur_ps"])[: args.top]
+    key = {"time": "dur_ps", "bytes": "bytes", "flops": "flops"}[args.sort]
+    print(f"\n== top {args.top} ops by {args.sort} "
+          f"(per step; roof = max of the two utils) ==")
+    rows = sorted(ops.items(), key=lambda kv: -kv[1][key])[: args.top]
     for name, a in rows:
         dur_s = a["dur_ps"] / 1e12
-        mxu = a["flops"] / dur_s / 1e12 / peak_tflops
-        hbm = a["bytes"] / dur_s / 1e9 / peak_hbm_gbps
+        mxu = a["flops"] / dur_s / 1e12 / peak_tflops if dur_s else 0.0
+        hbm = a["bytes"] / dur_s / 1e9 / peak_hbm_gbps if dur_s else 0.0
         roof = "MXU" if mxu >= hbm else "HBM"
-        print(f"  {dur_s/n*1e3:7.2f} ms  mxu {mxu:6.1%}  hbm {hbm:6.1%} "
+        print(f"  {dur_s/n*1e3:7.2f} ms {a['bytes']/n/1e6:8.1f} MB "
+              f"mxu {mxu:6.1%}  hbm {hbm:6.1%} "
               f"[{roof}] {a['category'][:18]:18s} {name[:70]}")
 
 
