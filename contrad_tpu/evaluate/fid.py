@@ -140,6 +140,13 @@ def get_embed_fn(name: str = "inception"):
         from contrad_tpu.evaluate.inception import get_inception_embed_fn
 
         return get_inception_embed_fn()
+    if name == "torch_inception":
+        # Independent second implementation (reference keeps a TF-1.x FID for
+        # this role, third_party/tf/fid.py): torch net, torch loader, torch
+        # preprocessing, CPU. Lives next to the stats in third_party/.
+        from third_party.torch_fid import get_embed_fn as torch_embed
+
+        return torch_embed()
     if name == "moments":
         return moments_embed_fn
     raise ValueError(f"unknown fid embedder: {name}")

@@ -30,8 +30,11 @@ def parse_args():
     p.add_argument("--splits", type=int, default=10)
     p.add_argument("--no_is", action="store_true", help="Skip Inception Score")
     p.add_argument("--out", type=str, default=None, help="CSV output path")
-    p.add_argument("--embed", default="inception", choices=["inception", "moments"],
-                   help="embedder; 'moments' is the weights-free debug option")
+    p.add_argument("--embed", default="inception",
+                   choices=["inception", "torch_inception", "moments"],
+                   help="embedder; 'torch_inception' is the independent "
+                        "second implementation (third_party/torch_fid), "
+                        "'moments' the weights-free debug option")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     return p.parse_args()
 

@@ -40,8 +40,12 @@ def parse_args():
                         "$INCEPTION_WEIGHTS")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--embed", default="inception",
-                   choices=["inception", "moments"],
-                   help="Embedder ('moments' = weights-free debug path)")
+                   choices=["inception", "torch_inception", "moments"],
+                   help="Embedder: 'inception' = the flax InceptionV3, "
+                        "'torch_inception' = the independent torch second "
+                        "implementation (third_party/torch_fid — the "
+                        "reference's TF-1.x fidelity-oracle role), "
+                        "'moments' = weights-free debug path")
     return p.parse_args()
 
 
@@ -83,6 +87,11 @@ def main():
         # weights-free debug path: IS needs the inception classifier
         print("IS skipped (--embed moments has no classifier)")
         is_mean, is_std = float("nan"), float("nan")
+    elif P.embed == "torch_inception":
+        from third_party.torch_fid import get_probs_fn
+
+        is_mean, is_std = inception_score(images, probs_fn=get_probs_fn(),
+                                          batch_size=P.batch_size)
     else:
         is_mean, is_std = inception_score(images, batch_size=P.batch_size)
 

@@ -1,13 +1,15 @@
 """Output-parity oracle for the flax FID InceptionV3.
 
-The environment has no torchvision and no pretrained weights, so the oracle is
-a from-scratch torch reimplementation of the pt-FID network *inside this test*
-(spec: /root/reference/third_party/fid/inception.py:131-157,199-314 — the
-torchvision InceptionV3 topology with the FIDInceptionA/C/E pooling quirks).
-Both sides get the same random weights through ``convert_torch_checkpoint``;
-pool3 features and logits must match at 299x299 and through the 32->299
-bilinear resize. A bug in any pooling variant, padding, BN eps, fc transpose,
-or the resize semantics breaks this test.
+The oracle is the from-scratch torch reimplementation of the pt-FID network
+in ``third_party/torch_fid`` — the rebuild's runtime second FID
+implementation (spec: /root/reference/third_party/fid/inception.py:131-157,
+199-314 — the torchvision InceptionV3 topology with the FIDInceptionA/C/E
+pooling quirks). Both sides get the same random weights through
+``convert_torch_checkpoint``; pool3 features and logits must match at
+299x299 and through the 32->299 bilinear resize. A bug in any pooling
+variant, padding, BN eps, fc transpose, or the resize semantics breaks this
+test. End-to-end engine agreement (loaders, batching, FID/IS numbers) is
+covered separately in ``tests/test_torch_engine.py``.
 """
 
 import numpy as np
@@ -21,179 +23,9 @@ import jax.numpy as jnp
 from contrad_tpu.evaluate.inception import InceptionV3FID, convert_torch_checkpoint
 
 
-# ---------------------------------------------------------------- torch oracle
-
-class TBasicConv2d(tnn.Module):
-    """torchvision BasicConv2d: conv(bias=False) + BN(eps=1e-3) + relu."""
-
-    def __init__(self, in_ch, out_ch, **kw):
-        super().__init__()
-        self.conv = tnn.Conv2d(in_ch, out_ch, bias=False, **kw)
-        self.bn = tnn.BatchNorm2d(out_ch, eps=0.001)
-
-    def forward(self, x):
-        return TF.relu(self.bn(self.conv(x)))
-
-
-class TInceptionA(tnn.Module):
-    """FIDInceptionA (reference inception.py:199-231): avg pool branch uses
-    count_include_pad=False."""
-
-    def __init__(self, in_ch, pool_features):
-        super().__init__()
-        self.branch1x1 = TBasicConv2d(in_ch, 64, kernel_size=1)
-        self.branch5x5_1 = TBasicConv2d(in_ch, 48, kernel_size=1)
-        self.branch5x5_2 = TBasicConv2d(48, 64, kernel_size=5, padding=2)
-        self.branch3x3dbl_1 = TBasicConv2d(in_ch, 64, kernel_size=1)
-        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, padding=1)
-        self.branch_pool = TBasicConv2d(in_ch, pool_features, kernel_size=1)
-
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b5 = self.branch5x5_2(self.branch5x5_1(x))
-        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
-        bp = TF.avg_pool2d(x, kernel_size=3, stride=1, padding=1,
-                           count_include_pad=False)
-        bp = self.branch_pool(bp)
-        return torch.cat([b1, b5, bd, bp], 1)
-
-
-class TInceptionB(tnn.Module):
-    def __init__(self, in_ch):
-        super().__init__()
-        self.branch3x3 = TBasicConv2d(in_ch, 384, kernel_size=3, stride=2)
-        self.branch3x3dbl_1 = TBasicConv2d(in_ch, 64, kernel_size=1)
-        self.branch3x3dbl_2 = TBasicConv2d(64, 96, kernel_size=3, padding=1)
-        self.branch3x3dbl_3 = TBasicConv2d(96, 96, kernel_size=3, stride=2)
-
-    def forward(self, x):
-        b3 = self.branch3x3(x)
-        bd = self.branch3x3dbl_3(self.branch3x3dbl_2(self.branch3x3dbl_1(x)))
-        bp = TF.max_pool2d(x, kernel_size=3, stride=2)
-        return torch.cat([b3, bd, bp], 1)
-
-
-class TInceptionC(tnn.Module):
-    """FIDInceptionC (reference inception.py:234-267)."""
-
-    def __init__(self, in_ch, c7):
-        super().__init__()
-        self.branch1x1 = TBasicConv2d(in_ch, 192, kernel_size=1)
-        self.branch7x7_1 = TBasicConv2d(in_ch, c7, kernel_size=1)
-        self.branch7x7_2 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
-        self.branch7x7_3 = TBasicConv2d(c7, 192, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7dbl_1 = TBasicConv2d(in_ch, c7, kernel_size=1)
-        self.branch7x7dbl_2 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7dbl_3 = TBasicConv2d(c7, c7, kernel_size=(1, 7), padding=(0, 3))
-        self.branch7x7dbl_4 = TBasicConv2d(c7, c7, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7dbl_5 = TBasicConv2d(c7, 192, kernel_size=(1, 7), padding=(0, 3))
-        self.branch_pool = TBasicConv2d(in_ch, 192, kernel_size=1)
-
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b7 = self.branch7x7_3(self.branch7x7_2(self.branch7x7_1(x)))
-        bd = self.branch7x7dbl_5(self.branch7x7dbl_4(self.branch7x7dbl_3(
-            self.branch7x7dbl_2(self.branch7x7dbl_1(x)))))
-        bp = TF.avg_pool2d(x, kernel_size=3, stride=1, padding=1,
-                           count_include_pad=False)
-        bp = self.branch_pool(bp)
-        return torch.cat([b1, b7, bd, bp], 1)
-
-
-class TInceptionD(tnn.Module):
-    def __init__(self, in_ch):
-        super().__init__()
-        self.branch3x3_1 = TBasicConv2d(in_ch, 192, kernel_size=1)
-        self.branch3x3_2 = TBasicConv2d(192, 320, kernel_size=3, stride=2)
-        self.branch7x7x3_1 = TBasicConv2d(in_ch, 192, kernel_size=1)
-        self.branch7x7x3_2 = TBasicConv2d(192, 192, kernel_size=(1, 7), padding=(0, 3))
-        self.branch7x7x3_3 = TBasicConv2d(192, 192, kernel_size=(7, 1), padding=(3, 0))
-        self.branch7x7x3_4 = TBasicConv2d(192, 192, kernel_size=3, stride=2)
-
-    def forward(self, x):
-        b3 = self.branch3x3_2(self.branch3x3_1(x))
-        b7 = self.branch7x7x3_4(self.branch7x7x3_3(self.branch7x7x3_2(
-            self.branch7x7x3_1(x))))
-        bp = TF.max_pool2d(x, kernel_size=3, stride=2)
-        return torch.cat([b3, b7, bp], 1)
-
-
-class TInceptionE(tnn.Module):
-    """FIDInceptionE_1 (avg, count_include_pad=False — inception.py:270-306) /
-    FIDInceptionE_2 (MAX pool — inception.py:309-314, 'the pool branch uses
-    max pooling' quirk of the TF graph)."""
-
-    def __init__(self, in_ch, pool):
-        super().__init__()
-        self.pool = pool
-        self.branch1x1 = TBasicConv2d(in_ch, 320, kernel_size=1)
-        self.branch3x3_1 = TBasicConv2d(in_ch, 384, kernel_size=1)
-        self.branch3x3_2a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
-        self.branch3x3_2b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
-        self.branch3x3dbl_1 = TBasicConv2d(in_ch, 448, kernel_size=1)
-        self.branch3x3dbl_2 = TBasicConv2d(448, 384, kernel_size=3, padding=1)
-        self.branch3x3dbl_3a = TBasicConv2d(384, 384, kernel_size=(1, 3), padding=(0, 1))
-        self.branch3x3dbl_3b = TBasicConv2d(384, 384, kernel_size=(3, 1), padding=(1, 0))
-        self.branch_pool = TBasicConv2d(in_ch, 192, kernel_size=1)
-
-    def forward(self, x):
-        b1 = self.branch1x1(x)
-        b3 = self.branch3x3_1(x)
-        b3 = torch.cat([self.branch3x3_2a(b3), self.branch3x3_2b(b3)], 1)
-        bd = self.branch3x3dbl_2(self.branch3x3dbl_1(x))
-        bd = torch.cat([self.branch3x3dbl_3a(bd), self.branch3x3dbl_3b(bd)], 1)
-        if self.pool == "avg":
-            bp = TF.avg_pool2d(x, kernel_size=3, stride=1, padding=1,
-                               count_include_pad=False)
-        else:
-            bp = TF.max_pool2d(x, kernel_size=3, stride=1, padding=1)
-        bp = self.branch_pool(bp)
-        return torch.cat([b1, b3, bd, bp], 1)
-
-
-class TInceptionV3FID(tnn.Module):
-    """Full pt-FID InceptionV3 with checkpoint-compatible attribute names."""
-
-    def __init__(self):
-        super().__init__()
-        self.Conv2d_1a_3x3 = TBasicConv2d(3, 32, kernel_size=3, stride=2)
-        self.Conv2d_2a_3x3 = TBasicConv2d(32, 32, kernel_size=3)
-        self.Conv2d_2b_3x3 = TBasicConv2d(32, 64, kernel_size=3, padding=1)
-        self.Conv2d_3b_1x1 = TBasicConv2d(64, 80, kernel_size=1)
-        self.Conv2d_4a_3x3 = TBasicConv2d(80, 192, kernel_size=3)
-        self.Mixed_5b = TInceptionA(192, 32)
-        self.Mixed_5c = TInceptionA(256, 64)
-        self.Mixed_5d = TInceptionA(288, 64)
-        self.Mixed_6a = TInceptionB(288)
-        self.Mixed_6b = TInceptionC(768, 128)
-        self.Mixed_6c = TInceptionC(768, 160)
-        self.Mixed_6d = TInceptionC(768, 160)
-        self.Mixed_6e = TInceptionC(768, 192)
-        self.Mixed_7a = TInceptionD(768)
-        self.Mixed_7b = TInceptionE(1280, "avg")
-        self.Mixed_7c = TInceptionE(2048, "max")
-        self.fc = tnn.Linear(2048, 1008)
-
-    def forward(self, x, resize=False):
-        # x: (N, 3, H, W) in [0, 1]
-        if resize:
-            x = TF.interpolate(x, size=(299, 299), mode="bilinear",
-                               align_corners=False)
-        x = 2 * x - 1
-        x = self.Conv2d_1a_3x3(x)
-        x = self.Conv2d_2a_3x3(x)
-        x = self.Conv2d_2b_3x3(x)
-        x = TF.max_pool2d(x, kernel_size=3, stride=2)
-        x = self.Conv2d_3b_1x1(x)
-        x = self.Conv2d_4a_3x3(x)
-        x = TF.max_pool2d(x, kernel_size=3, stride=2)
-        for name in ("Mixed_5b", "Mixed_5c", "Mixed_5d", "Mixed_6a",
-                     "Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e",
-                     "Mixed_7a", "Mixed_7b", "Mixed_7c"):
-            x = getattr(self, name)(x)
-        pool3 = TF.adaptive_avg_pool2d(x, (1, 1)).flatten(1)
-        return pool3, self.fc(pool3)
+# The torch oracle lives in third_party/torch_fid (the runtime second FID
+# implementation); these parity tests certify the flax side against it.
+from third_party.torch_fid.inception import InceptionV3FID as TInceptionV3FID
 
 
 @pytest.fixture(scope="module")
