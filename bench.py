@@ -58,22 +58,35 @@ TRIALS = 3  # first trial after warmup can still be noisy on the axon tunnel
 
 
 def _time_steps(trainer, state, batch, steps, trials, warmup=3, **step_kwargs):
-    """Returns (best s/step, final live state). The jitted step donates its
-    input state buffers, so callers must keep using the RETURNED state — the
-    one passed in is deleted after the first step."""
+    """Returns (best s/step, final live state) via the chained-readback
+    protocol (tools/tpu_timing.py): steps chain through the donated state, a
+    host readback of a metrics scalar forces completion (block_until_ready
+    does NOT synchronize reliably through the axon tunnel — measured
+    reporting 15x over the step's HBM roofline), and the difference of two
+    chain lengths cancels the ~30 ms RPC/readback overhead."""
     import jax
+    import jax.numpy as jnp
+
+    def _readback(m):
+        return float(jax.device_get(jnp.ravel(jax.tree.leaves(m)[0])[0]))
 
     for _ in range(warmup):
         state, metrics = trainer.train_step(state, batch, **step_kwargs)
-    jax.block_until_ready((state.g_params, metrics))
-    best = float("inf")
+    _readback(metrics)
+    n_short = max(1, steps // 5)
+    shorts, longs = [], []
     for _ in range(trials):
+        t0 = time.perf_counter()
+        for _ in range(n_short):
+            state, metrics = trainer.train_step(state, batch, **step_kwargs)
+        _readback(metrics)
+        shorts.append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         for _ in range(steps):
             state, metrics = trainer.train_step(state, batch, **step_kwargs)
-        jax.block_until_ready((state.g_params, metrics))
-        best = min(best, (time.perf_counter() - t0) / steps)
-    return best, state
+        _readback(metrics)
+        longs.append(time.perf_counter() - t0)
+    return (min(longs) - min(shorts)) / (steps - n_short), state
 
 
 def bench_flagship(dtype=None, steps=MEASURE_STEPS, trials=TRIALS,

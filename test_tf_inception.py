@@ -4,13 +4,15 @@
 fidelity" FID/IS over an image directory against precomputed .npz stats).
 
 The reference keeps a second, TF-1.x frozen-graph Inception implementation
-purely as a fidelity oracle for final numbers. This rebuild has ONE
-InceptionV3 (flax, ``contrad_tpu/evaluate/inception.py``) whose numerics are
-certified differently: output-parity tests against a torch reimplementation
-of the FIDInception blocks (``tests/test_inception_parity.py``) plus a
-real-weights CIFAR-10 train-vs-test anchor (~3.15) that arms automatically
-when weights are present. A TF-1.x port would add a dependency without adding
-trust. This alias preserves the reference's exact CLI surface (positional
+purely as a fidelity oracle for final numbers. The rebuild's counterpart is
+the torch engine in ``third_party/torch_fid`` — its own loader,
+preprocessing, and CPU forward, independent of the flax InceptionV3
+(``contrad_tpu/evaluate/inception.py``) — selected here with
+``--embed torch_inception``. Cross-engine FID/IS agreement is tested
+(``tests/test_torch_engine.py``), block-level output parity too
+(``tests/test_inception_parity.py``), and a real-weights CIFAR-10
+train-vs-test anchor (~3.15) arms automatically when weights are present.
+This alias preserves the reference's exact CLI surface (positional
 ``images stats``, ``--n_imgs``, ``--batch_size``) and its CSV-style log
 output, delegating to the same scoring stack as ``test_fid_is.py``.
 """

@@ -38,21 +38,16 @@ def bench(dtype, batch, steps, trials, do_r1=False):
         0, 256, size=(batch,) + IMG, dtype=np.uint8)
     b = tr.place_batch(data)
 
-    for _ in range(3):
-        st, m = tr.train_step(st, b, ema_decay=0.99, do_r1=do_r1)
-    jax.block_until_ready((st.g_params, m))
+    # chained-readback protocol (tools/tpu_timing.py): block_until_ready does
+    # not synchronize reliably through the axon tunnel
+    from tools.tpu_timing import time_step
 
-    best = float("inf")
-    for trial in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            st, m = tr.train_step(st, b, ema_decay=0.99, do_r1=do_r1)
-        jax.block_until_ready((st.g_params, m))
-        dt = (time.perf_counter() - t0) / steps
-        print(f"  trial{trial}: {dt*1000:7.1f} ms/step  {batch/dt:6.1f} img/s"
-              f"  (do_r1={do_r1})")
-        best = min(best, dt)
-    return best
+    dt = time_step(
+        lambda s, batch_: tr.train_step(s, batch_, ema_decay=0.99,
+                                        do_r1=do_r1),
+        st, b, n_short=max(1, steps // 5), n_long=steps, trials=trials)
+    print(f"  {dt*1000:7.1f} ms/step  {batch/dt:6.1f} img/s  (do_r1={do_r1})")
+    return dt
 
 
 if __name__ == "__main__":
