@@ -44,7 +44,7 @@ python train_gan.py configs/gan/cifar10/c10_b512.toml sndcgan \
     --override options.dataset="$DATASET" options.max_steps="$STEPS" \
                options.fid_size="$FID_SIZE" $EXTRA_OVERRIDES
 
-echo "== [4/4] FID trajectory"
+echo "== [4/5] FID trajectory"
 # most-recently-written CSV = this run's (logdir suffixes are random, so a
 # path sort could pick an older run under the same LOGROOT)
 CSV=$(find "$LOGROOT" -name 'results_fid_*.csv' -printf '%T@ %p\n' | sort -g | tail -1 | cut -d' ' -f2-)
@@ -53,3 +53,23 @@ echo "--- $CSV"
 cat "$CSV"
 BEST=$(tail -n +2 "$CSV" | awk -F, '{print $NF}' | sort -g | head -1)
 echo "BEST FID@${FID_SIZE} ($EMBED embedder): $BEST"
+
+# Final-number cross-check with the INDEPENDENT second implementation
+# (third_party/torch_fid — the reference scores finals with its TF-1.x
+# second stack the same way): sample PNGs from the best checkpoint, score
+# the directory with both engines. Real-weights only (the torch engine has
+# no moments mode). Disable with CROSSCHECK=0.
+if [ "$EMBED" = "inception" ] && [ "${CROSSCHECK:-1}" = "1" ]; then
+    echo "== [5/5] cross-check: both FID engines over ${FID_SIZE} sampled PNGs"
+    LOGDIR=$(dirname "$CSV")
+    python test_gan_sample.py "$LOGDIR" sndcgan --ckpt best \
+        --n_samples "$FID_SIZE" --batch_size 500
+    SAMPLES=$(find "$LOGDIR" -maxdepth 1 -type d -name 'samples_*' \
+              -printf '%T@ %p\n' | sort -g | tail -1 | cut -d' ' -f2-)
+    STATS=third_party/fid/${DATASET}_stats.npz
+    python test_tf_inception.py "$SAMPLES" "$STATS" --n_imgs "$FID_SIZE"
+    python test_tf_inception.py "$SAMPLES" "$STATS" --n_imgs "$FID_SIZE" \
+        --embed torch_inception
+    echo "--- engine agreement log: $LOGDIR/fid.log"
+    cat "$LOGDIR/fid.log"
+fi
