@@ -244,6 +244,15 @@ class ShardedDeviceBatchIterator:
         next_indices() — epoch boundaries ring-rotate the array."""
         return self._images
 
+    def steps_until_rotation(self) -> int:
+        """Batches left before the next epoch-boundary ring rotation (which
+        replaces ``images``). Multi-step dispatch blocks
+        (GANTrainer.train_steps_indexed) must not straddle a rotation: all K
+        index vectors of a block are gathered against ONE images array."""
+        if self._local_orders is None:
+            return 0
+        return (self.shard_len - self._pos) // self.local_batch
+
     def __iter__(self):
         return self
 

@@ -319,6 +319,43 @@ class GANTrainer:
             fn = self._indexed_fns[local] = self._build_indexed(local)
         return fn(state, data, idx, ema_decay, labels)
 
+    # ------------------------------------------- multi-step (scan) dispatch
+
+    def _build_indexed_multi(self, local: bool, with_labels: bool):
+        gather = self._make_batch_gather(local)
+
+        def fn(state, data, idx_block, ema_decay, labels_block):
+            def body(st, xs):
+                idx, lab = xs if with_labels else (xs, None)
+                return self._step(st, gather(data, idx), ema_decay, lab)
+
+            xs = (idx_block, labels_block) if with_labels else idx_block
+            st, metrics_seq = jax.lax.scan(body, state, xs)
+            # reference logs the last step's losses
+            return st, jax.tree.map(lambda m: m[-1], metrics_seq)
+
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def train_steps_indexed(self, state: GANTrainState, data, idx_block,
+                            local: bool = False, ema_decay: float = 0.0,
+                            labels_block=None):
+        """K fused-gather train steps in ONE jitted program (``lax.scan``
+        over the leading axis of ``idx_block`` (K, n)): a single XLA dispatch
+        executes K steps, amortizing the per-dispatch host RPC (measured
+        ~8 ms/step through a tunneled device; ~50 us locally). Numerically
+        identical to K sequential ``train_step_indexed`` calls with the same
+        index vectors (tested). Returns the LAST step's metrics."""
+        if self.conditional and labels_block is None:
+            raise ValueError("discriminator has n_classes>1: pass labels")
+        if not self.conditional:
+            labels_block = None
+        key = ("multi", local, labels_block is not None)
+        fn = self._indexed_fns.get(key)
+        if fn is None:
+            fn = self._indexed_fns[key] = self._build_indexed_multi(
+                local, labels_block is not None)
+        return fn(state, data, idx_block, ema_decay, labels_block)
+
     # ------------------------------------------------------------- eval
 
     def _sample(self, state: GANTrainState, n: int, use_ema: bool = False,
@@ -417,10 +454,10 @@ class StyleGAN2Trainer(GANTrainer):
         d_params, d_state, d_opt_state = state.d_params, d_state, state.d_opt_state
         gen_images = jax.lax.stop_gradient(gen_images)
 
-        def d_loss_fn(p):
+        def d_loss_fn(p, with_r1: bool):
             total, (metrics, new_d_state) = self.loss_D(
                 self.ctx, p, d_state, images[0], gen_images, d_loss_rng)
-            if do_r1 and self.lbd_r1 > 0:
+            if with_r1:
                 r1 = self._r1(p, d_state, images[0], r1_rng)
                 total = total + (0.5 * self.lbd_r1) * r1 * self.d_reg_every
                 metrics = dict(metrics, D_r1=r1)
@@ -428,8 +465,21 @@ class StyleGAN2Trainer(GANTrainer):
                 metrics = dict(metrics, D_r1=jnp.zeros(()))
             return total, (metrics, new_d_state)
 
-        (_, (metrics, d_state)), grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(d_params)
+        r1_vag = jax.value_and_grad(
+            lambda p: d_loss_fn(p, True), has_aux=True)
+        plain_vag = jax.value_and_grad(
+            lambda p: d_loss_fn(p, False), has_aux=True)
+        if isinstance(do_r1, bool):
+            # static flag: compile exactly one branch (the lazy-R1 CLI keeps
+            # two separate programs, as before)
+            branch = r1_vag if (do_r1 and self.lbd_r1 > 0) else plain_vag
+            (_, (metrics, d_state)), grads = branch(d_params)
+        else:
+            # traced flag (the multi-step scan path): ONE program containing
+            # both branches; lax.cond executes only the taken one per step
+            (_, (metrics, d_state)), grads = jax.lax.cond(
+                do_r1 if self.lbd_r1 > 0 else jnp.array(False),
+                r1_vag, plain_vag, d_params)
         updates, d_opt_state = self.d_tx.update(grads, d_opt_state, d_params)
         d_params = optax.apply_updates(d_params, updates)
 
@@ -475,3 +525,38 @@ class StyleGAN2Trainer(GANTrainer):
         if fn is None:
             fn = self._indexed_fns[local] = self._build_indexed(local)
         return fn(state, data, idx, ema_decay, bool(do_r1))
+
+    def _build_indexed_multi(self, local: bool, with_labels: bool = False):
+        # with_labels unused: the StyleGAN2 trainers are unconditional (the
+        # reference's train_stylegan2.py has no label path)
+        gather = self._make_batch_gather(local)
+
+        def fn(state, data, idx_block, ema_block, r1_block):
+            def body(st, xs):
+                idx, ed, dr = xs
+                return self._sg2_step(st, gather(data, idx), ed, dr)
+
+            st, metrics_seq = jax.lax.scan(
+                body, state, (idx_block, ema_block, r1_block))
+            return st, jax.tree.map(lambda m: m[-1], metrics_seq)
+
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def train_steps_indexed(self, state: GANTrainState, data, idx_block,
+                            local: bool = False, ema_decay=0.0,
+                            do_r1=False):
+        """K StyleGAN2 steps in one jitted scan. ``ema_decay`` and ``do_r1``
+        are per-step vectors of length K (scalars broadcast); the lazy-R1
+        cadence runs INSIDE the program via lax.cond, so one dispatch covers
+        a full d_reg_every period. Numerically identical to K sequential
+        ``train_step_indexed`` calls (tested); returns the LAST step's
+        metrics (with D_r1 from that step — callers wanting the regularized
+        pass's R1 should align blocks to the cadence)."""
+        k = idx_block.shape[0]
+        ema_block = jnp.broadcast_to(jnp.asarray(ema_decay, jnp.float32), (k,))
+        r1_block = jnp.broadcast_to(jnp.asarray(do_r1, jnp.bool_), (k,))
+        key = ("multi", local)
+        fn = self._indexed_fns.get(key)
+        if fn is None:
+            fn = self._indexed_fns[key] = self._build_indexed_multi(local)
+        return fn(state, data, idx_block, ema_block, r1_block)

@@ -184,6 +184,44 @@ def test_indexed_step_matches_regular(sharded, devices):
                                    rtol=1e-6, atol=1e-7, err_msg=k)
 
 
+@pytest.mark.parametrize("sharded", [False, True])
+def test_multi_step_block_matches_sequential(sharded, devices):
+    """train_steps_indexed (K steps in ONE jitted lax.scan program — the
+    dispatch-amortizing CLI fast path) must be numerically identical to K
+    sequential train_step_indexed calls with the same index vectors."""
+    from contrad_tpu.data.core import (
+        ArrayDataset, DeviceBatchIterator, ShardedDeviceBatchIterator)
+
+    n, k = 64, 3
+    rng = np.random.default_rng(7)
+    ds = ArrayDataset(
+        rng.integers(0, 256, size=(n,) + IMG, dtype=np.uint8), np.arange(n))
+    cls = ShardedDeviceBatchIterator if sharded else DeviceBatchIterator
+    it = cls(ds, batch_size=BATCH, mesh=get_mesh(devices), seed=3)
+    idx_block = np.stack([it.next_indices()[0] for _ in range(k)])
+
+    trainer_a, state_a = _make_trainer(mode="contrad", aug="simclr")
+    state_a = trainer_a.place_state(state_a)
+    for i in range(k):
+        state_a, metrics_a = trainer_a.train_step_indexed(
+            state_a, it.images, idx_block[i], local=it.local_indexing)
+
+    trainer_b, state_b = _make_trainer(mode="contrad", aug="simclr")
+    state_b = trainer_b.place_state(state_b)
+    state_b, metrics_b = trainer_b.train_steps_indexed(
+        state_b, it.images, idx_block, local=it.local_indexing)
+
+    assert int(state_b.step) == k
+    for m_a, m_b in ((metrics_a, metrics_b),):
+        for key in m_a:
+            np.testing.assert_allclose(float(m_a[key]), float(m_b[key]),
+                                       rtol=1e-5, atol=1e-6, err_msg=key)
+    for leaf_a, leaf_b in zip(jax.tree.leaves(state_a.d_params),
+                              jax.tree.leaves(state_b.d_params)):
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_determinism(devices):
     outs = []
     for _ in range(2):

@@ -292,6 +292,69 @@ def test_stylegan2_trainer_step_with_r1(devices, monkeypatch):
         assert np.isfinite(float(v)), k
 
 
+def test_stylegan2_multi_step_block_matches_sequential(devices, monkeypatch):
+    """StyleGAN2Trainer.train_steps_indexed (K steps in one jitted scan, with
+    the lazy-R1 cadence as a traced lax.cond INSIDE the program) must match K
+    sequential train_step_indexed calls with the same indices, EMA decays,
+    and R1 flags."""
+    import contrad_tpu.models.stylegan2.discriminator as dmod
+    import contrad_tpu.models.stylegan2.generator as gmod
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.data.core import ArrayDataset, DeviceBatchIterator
+    from contrad_tpu.models.stylegan2 import DStylegan2, GStylegan2
+    from contrad_tpu.parallel.mesh import get_mesh
+    from contrad_tpu.training.state import create_train_state, make_optimizer
+    from contrad_tpu.training.step import StyleGAN2Trainer
+
+    tiny = {4: 16, 8: 16, 16: 16, 32: 16}
+    monkeypatch.setattr(gmod, "stylegan2_channels", lambda *a, **k: dict(tiny))
+    monkeypatch.setattr(dmod, "stylegan2_channels", lambda *a, **k: dict(tiny))
+
+    size, k = 16, 3
+    rng = np.random.default_rng(9)
+    ds = ArrayDataset(rng.integers(0, 256, size=(64, size, size, 3),
+                                   dtype=np.uint8), np.arange(64))
+    it = DeviceBatchIterator(ds, batch_size=8, mesh=get_mesh(devices), seed=4)
+    idx_block = np.stack([it.next_indices()[0] for _ in range(k)])
+    ema = np.array([0.0, 0.99, 0.99], np.float32)
+    r1 = np.array([False, True, False])  # mid-block R1: the cond must fire
+
+    def make():
+        g = GStylegan2(size=size, n_mlp=2, small32=False,
+                       channel_multiplier=0.25)
+        d = DStylegan2(size=size, small32=False, channel_multiplier=0.25,
+                       mlp_linear=True, d_hidden=32)
+        g_opt = make_optimizer(2e-3, (0.0, 0.99))
+        d_opt = make_optimizer(2e-3, (0.0, 0.99))
+        tr = StyleGAN2Trainer(
+            g, d, mode="std", augment_fn=get_augment("hflip"),
+            g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+            lbd_r1=0.1, d_reg_every=4, style_mix=0.9, mesh=get_mesh(devices))
+        st = tr.place_state(create_train_state(
+            jax.random.PRNGKey(0), g, d, (size, size, 3), g_opt, d_opt,
+            ema=True))
+        return tr, st
+
+    tr_a, st_a = make()
+    for i in range(k):
+        st_a, m_a = tr_a.train_step_indexed(
+            st_a, it.images, idx_block[i], ema_decay=float(ema[i]),
+            do_r1=bool(r1[i]))
+
+    tr_b, st_b = make()
+    st_b, m_b = tr_b.train_steps_indexed(
+        st_b, it.images, idx_block, ema_decay=ema, do_r1=r1)
+
+    assert int(st_b.step) == k
+    for key in m_a:
+        np.testing.assert_allclose(float(m_a[key]), float(m_b[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+    for leaf_a, leaf_b in zip(jax.tree.leaves(st_a.g_ema_params),
+                              jax.tree.leaves(st_b.g_ema_params)):
+        np.testing.assert_allclose(np.asarray(leaf_a), np.asarray(leaf_b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_stylegan2_sharded_matches_single_device(devices, monkeypatch):
     """StyleGAN2Trainer 1-vs-8-device equivalence oracle (the SNDCGAN twin is
     tests/test_step.py::test_sharded_matches_single_device): the FULL lazy-R1

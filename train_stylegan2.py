@@ -64,6 +64,11 @@ def parse_args():
     p.add_argument("--print_every", default=50, type=int)
     p.add_argument("--evaluate_every", default=2000, type=int)
     p.add_argument("--save_every", default=100000, type=int)
+    p.add_argument("--steps_per_dispatch", default=0, type=int,
+                   help="Run K train steps per XLA dispatch (lax.scan inside "
+                        "one jitted program; the lazy-R1 cadence runs as a "
+                        "lax.cond INSIDE the program). 0 = auto: the largest "
+                        "K <= 16 dividing every event cadence. 1 disables.")
     p.add_argument("--comment", default="", type=str)
 
     p.add_argument("--resume", default=None, type=str)
@@ -270,25 +275,53 @@ def main():
     logger.log_dirname(f"Steps {starting_step}")
     # Device-resident loaders expose index vectors so the batch gather fuses
     # INTO the jitted step (one XLA dispatch per step; see train_gan.py).
-    fuse_gather = getattr(loader, "supports_indexed", False)
-    t0, imgs_seen = time.time(), 0
-    for step in range(starting_step, opt.max_steps + 1):
-        do_r1 = (step % P.d_reg_every == 0) and (P.lbd_r1 > 0)
-        do_ema = (step * opt.batch_size) > (P.ema_start_k * 1000)
-        ema_decay = accum if do_ema else 0.0
+    # With steps_per_dispatch > 1, K steps run inside ONE jitted lax.scan
+    # program — the lazy-R1 cadence and the ema_start gate become per-step
+    # vectors evaluated by lax.cond INSIDE the program.
+    from contrad_tpu.training.dispatch import (block_size,
+                                               resolve_steps_per_dispatch)
 
-        if fuse_gather:
-            idx, _ = loader.next_indices()
-            batch = None  # materialized lazily for the eval-time aug preview
-            state, metrics = trainer.train_step_indexed(
-                state, loader.images, idx, local=loader.local_indexing,
-                ema_decay=ema_decay, do_r1=do_r1)
+    fuse_gather = getattr(loader, "supports_indexed", False)
+    k_dispatch = resolve_steps_per_dispatch(
+        P.steps_per_dispatch, fuse_gather, P.trace_steps,
+        P.print_every, P.evaluate_every, P.save_every)
+    if k_dispatch > 1:
+        logger.log(f"Multi-step dispatch: {k_dispatch} steps/program")
+    t0, imgs_seen = time.time(), 0
+    step = starting_step
+    while step <= opt.max_steps:
+        k = block_size(step, k_dispatch, opt.max_steps, loader)
+        if k > 1:
+            steps_arr = np.arange(step, step + k)
+            r1_vec = (steps_arr % P.d_reg_every == 0) & (P.lbd_r1 > 0)
+            ema_vec = np.where(
+                steps_arr * opt.batch_size > P.ema_start_k * 1000,
+                accum, 0.0).astype(np.float32)
+            idx_block = np.stack(
+                [loader.next_indices()[0] for _ in range(k)])
+            batch = None
+            idx = idx_block[-1]  # for the eval-time aug-preview materialize
+            state, metrics = trainer.train_steps_indexed(
+                state, loader.images, idx_block,
+                local=loader.local_indexing, ema_decay=ema_vec, do_r1=r1_vec)
+            step += k - 1  # `step` is now the block's LAST step
         else:
-            batch, _ = next(loader)  # prefetched + already on device
-            state, metrics = trainer.train_step(state, batch,
-                                                ema_decay=ema_decay,
-                                                do_r1=do_r1)
-        imgs_seen += opt.batch_size * opt.n_critic  # a step consumes n_critic batches
+            do_r1 = (step % P.d_reg_every == 0) and (P.lbd_r1 > 0)
+            do_ema = (step * opt.batch_size) > (P.ema_start_k * 1000)
+            ema_decay = accum if do_ema else 0.0
+
+            if fuse_gather:
+                idx, _ = loader.next_indices()
+                batch = None  # materialized lazily for the aug preview
+                state, metrics = trainer.train_step_indexed(
+                    state, loader.images, idx, local=loader.local_indexing,
+                    ema_decay=ema_decay, do_r1=do_r1)
+            else:
+                batch, _ = next(loader)  # prefetched + already on device
+                state, metrics = trainer.train_step(state, batch,
+                                                    ema_decay=ema_decay,
+                                                    do_r1=do_r1)
+        imgs_seen += opt.batch_size * opt.n_critic * k  # n_critic batches/step
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:
             jax.block_until_ready(state.g_params)
@@ -343,6 +376,8 @@ def main():
 
                 save_eval_state(logger.logdir, eval_seed, fid=fid,
                                 fixed_gen=fixed_gen)
+
+        step += 1
 
     from contrad_tpu.utils import wait_for_checkpoints
 
