@@ -42,6 +42,8 @@ def block_size(step: int, k: int, max_steps: int, loader) -> int:
     if step + k - 1 > max_steps:
         return 1
     until_rot = getattr(loader, "steps_until_rotation", None)
-    if until_rot is not None and until_rot() < k:
-        return 1
+    if until_rot is not None:
+        left = until_rot()
+        if left is not None and left < k:
+            return 1
     return k
