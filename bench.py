@@ -59,34 +59,18 @@ TRIALS = 3  # first trial after warmup can still be noisy on the axon tunnel
 
 def _time_steps(trainer, state, batch, steps, trials, warmup=3, **step_kwargs):
     """Returns (best s/step, final live state) via the chained-readback
-    protocol (tools/tpu_timing.py): steps chain through the donated state, a
-    host readback of a metrics scalar forces completion (block_until_ready
-    does NOT synchronize reliably through the axon tunnel — measured
-    reporting 15x over the step's HBM roofline), and the difference of two
-    chain lengths cancels the ~30 ms RPC/readback overhead."""
-    import jax
-    import jax.numpy as jnp
+    protocol — ONE implementation, shared with every tool that times steps
+    (tools/tpu_timing.py): steps chain through the donated state, a host
+    readback of a metrics scalar forces completion (block_until_ready does
+    NOT synchronize reliably through the axon tunnel — measured reporting
+    15x over the step's HBM roofline), and the difference of two chain
+    lengths cancels the ~30 ms RPC/readback overhead."""
+    from tools.tpu_timing import time_step
 
-    def _readback(m):
-        return float(jax.device_get(jnp.ravel(jax.tree.leaves(m)[0])[0]))
-
-    for _ in range(warmup):
-        state, metrics = trainer.train_step(state, batch, **step_kwargs)
-    _readback(metrics)
-    n_short = max(1, steps // 5)
-    shorts, longs = [], []
-    for _ in range(trials):
-        t0 = time.perf_counter()
-        for _ in range(n_short):
-            state, metrics = trainer.train_step(state, batch, **step_kwargs)
-        _readback(metrics)
-        shorts.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        for _ in range(steps):
-            state, metrics = trainer.train_step(state, batch, **step_kwargs)
-        _readback(metrics)
-        longs.append(time.perf_counter() - t0)
-    return (min(longs) - min(shorts)) / (steps - n_short), state
+    return time_step(
+        lambda st, b: trainer.train_step(st, b, **step_kwargs),
+        state, batch, n_short=max(1, steps // 5), n_long=steps,
+        trials=trials, warmup=warmup, return_state=True)
 
 
 def bench_flagship(dtype=None, steps=MEASURE_STEPS, trials=TRIALS,

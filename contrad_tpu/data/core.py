@@ -81,7 +81,11 @@ class BatchIterator:
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         return self
 
-    def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
+    def next_indices(self) -> np.ndarray:
+        """Advance the stream by one batch and return its (shard-sliced)
+        dataset rows. The ONE place epoch/reshuffle bookkeeping lives — the
+        host-gather path (``__next__``) and the device-resident index stream
+        (``DeviceBatchIterator``) both consume it, so they cannot diverge."""
         if self._order is None or self._pos + self.batch_size > len(self._order):
             if self._order is not None:
                 self.epoch += 1
@@ -92,6 +96,10 @@ class BatchIterator:
             rank, world = self.shard
             per = self.batch_size // world
             idx = idx[rank * per : (rank + 1) * per]
+        return idx
+
+    def __next__(self) -> Tuple[np.ndarray, np.ndarray]:
+        idx = self.next_indices()
         # Native multithreaded gather (contrad_tpu/data/native): matters for
         # memmapped high-res folders (~50 MB/batch at 512^2).
         from contrad_tpu.data import native
@@ -332,15 +340,9 @@ class DeviceBatchIterator:
     def next_indices(self):
         """Advance the stream by one batch but return only the (global) index
         vector + host labels; callers gather on device — either via
-        materialize() or fused into the train step."""
-        # reuse BatchIterator's epoch bookkeeping but only take the indices
-        it = self._indices
-        if it._order is None or it._pos + it.batch_size > len(it._order):
-            if it._order is not None:
-                it.epoch += 1
-            it._reshuffle()
-        idx = it._order[it._pos : it._pos + it.batch_size]
-        it._pos += it.batch_size
+        materialize() or fused into the train step. Epoch bookkeeping is
+        BatchIterator.next_indices — one source of truth with the host path."""
+        idx = self._indices.next_indices()
         return np.asarray(idx, dtype=np.int32), self._labels[idx]
 
     def materialize(self, idx):

@@ -239,9 +239,20 @@ class FIDScore:
     def state_dict(self) -> dict:
         hist = (np.asarray(self.history, dtype=np.float64)
                 if self.history else np.zeros((0, self.n_avg + 2)))
-        return {"history": hist, "best": np.float64(self.best)}
+        return {"history": hist, "best": np.float64(self.best),
+                "embedder": np.str_(self.embedder), "size": np.int64(self.size)}
 
     def load_state_dict(self, state: dict) -> None:
+        # A `best` is only meaningful under the embedder/fid_size that
+        # produced it: resuming with a different --fid_embed (e.g. moments →
+        # inception once real weights exist) or fid_size must NOT freeze the
+        # ckpt/best gate at an incomparable number — start the gate fresh.
+        # Sidecars predating the provenance fields are trusted as-is.
+        emb = str(state.get("embedder", self.embedder))
+        size = int(state.get("size", self.size))
+        if emb != self.embedder or size != self.size:
+            self.history, self.best, self.is_best = [], float("inf"), False
+            return
         hist = np.asarray(state["history"], dtype=np.float64)
         # History rows are [step, fid_0..fid_{n_avg-1}, mean]; a resume with a
         # different --n_eval_avg would make the restored rows ragged against

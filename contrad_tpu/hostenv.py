@@ -13,6 +13,8 @@ from __future__ import annotations
 import os
 import socket
 import subprocess
+import threading
+import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 # Rendezvous env consumed by contrad_tpu.parallel.mesh.init_distributed; a
@@ -59,21 +61,35 @@ def spawn_world(cmds_envs: Sequence[Tuple[List[str], Dict[str, str]]],
     """Launch one process per ``(cmd, env)``, wait for all, kill stragglers.
 
     All processes are launched before any is waited on (they must rendezvous
-    with each other).  Raises ``RuntimeError`` with the failing process's
-    output tail if any exits non-zero; returns the per-process outputs
-    (stdout+stderr combined) otherwise."""
+    with each other), and all pipes are drained CONCURRENTLY — a rank that
+    emits more than the 64 KB pipe capacity before its last collective must
+    not block writing while an earlier rank is being waited on, or the whole
+    world deadlocks into the timeout.  ``timeout`` is one shared deadline for
+    the world, not per process.  Raises ``RuntimeError`` with the failing
+    process's output tail if any exits non-zero; returns the per-process
+    outputs (stdout+stderr combined) otherwise."""
     procs = [subprocess.Popen(cmd, env=env, cwd=cwd, stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, text=True)
              for cmd, env in cmds_envs]
-    outs = []
+    outs: List[str] = [""] * len(procs)
+
+    def _drain(i: int, p: subprocess.Popen) -> None:
+        outs[i] = p.stdout.read()
+
+    readers = [threading.Thread(target=_drain, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    for t in readers:
+        t.start()
+    deadline = time.monotonic() + timeout
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=timeout)
-            outs.append(out)
+            p.wait(timeout=max(deadline - time.monotonic(), 0.001))
     finally:
         for p in procs:
             if p.poll() is None:
                 p.kill()
+        for t in readers:  # EOF arrives once the process is dead
+            t.join(timeout=30)
     for p, out in zip(procs, outs):
         if p.returncode != 0:
             raise RuntimeError(

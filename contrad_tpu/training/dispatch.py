@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+
 
 def resolve_steps_per_dispatch(requested: int, fuse_gather: bool,
                                trace_steps: int, *cadences: int,
@@ -47,3 +49,61 @@ def block_size(step: int, k: int, max_steps: int, loader) -> int:
         if left is not None and left < k:
             return 1
     return k
+
+
+class Block:
+    """One dispatched program's worth of training data.
+
+    ``kind`` is ``"block"`` (k>1 steps via ``train_steps_indexed``),
+    ``"indexed"`` (single fused-gather step), or ``"batch"`` (host-gathered
+    batch already on device). ``materialize()`` returns the block's LAST
+    image batch, gathering lazily — the fused paths never pull pixels unless
+    an eval-time preview actually needs them."""
+
+    def __init__(self, kind: str, k: int, loader, idx=None, idx_block=None,
+                 batch=None, labels=None, labels_block=None):
+        self.kind = kind
+        self.k = k
+        self.idx = idx
+        self.idx_block = idx_block
+        self.labels = labels
+        self.labels_block = labels_block
+        self._loader = loader
+        self._batch = batch
+
+    def materialize(self):
+        if self._batch is None:
+            self._batch = self._loader.materialize(self.idx)
+        return self._batch
+
+
+class BlockDispatcher:
+    """The CLI-side multi-step dispatch driver — ONE copy of the
+    invariant-heavy loop shared by both training CLIs (train_gan.py,
+    train_stylegan2.py): block alignment via :func:`block_size`, fetching
+    exactly k index vectors against ONE images array (the rotation guard),
+    stacking them for the scan program, per-step label collection, and
+    deferred batch materialization. The caller advances its step counter by
+    ``block.k`` per yielded block (``step`` passed in is the block's FIRST
+    step; after dispatch the block's last step is ``step + block.k - 1``)."""
+
+    def __init__(self, loader, k_dispatch: int, max_steps: int):
+        self.loader = loader
+        self.k_dispatch = k_dispatch
+        self.max_steps = max_steps
+        self.fuse_gather = getattr(loader, "supports_indexed", False)
+
+    def next_block(self, step: int) -> Block:
+        k = block_size(step, self.k_dispatch, self.max_steps, self.loader)
+        if k > 1:
+            pairs = [self.loader.next_indices() for _ in range(k)]
+            return Block(
+                "block", k, self.loader,
+                idx_block=np.stack([p[0] for p in pairs]),
+                idx=pairs[-1][0],  # eval-time aug-preview materialization
+                labels_block=[np.asarray(p[1]) for p in pairs])
+        if self.fuse_gather:
+            idx, labels = self.loader.next_indices()
+            return Block("indexed", 1, self.loader, idx=idx, labels=labels)
+        batch, labels = next(self.loader)  # prefetched + already on device
+        return Block("batch", 1, self.loader, batch=batch, labels=labels)

@@ -64,3 +64,67 @@ def test_event_coverage_over_a_simulated_run():
             fired.append(step)
         step += 1
     assert fired == [50, 100, 150, 200]
+
+
+class _IndexLoader:
+    """Fused-gather-style loader: index streams, deferred materialization."""
+
+    supports_indexed = True
+    local_indexing = False
+
+    def __init__(self, batch=4):
+        import numpy as np
+
+        self._np = np
+        self._n = 0
+        self.batch = batch
+        self.gathers = 0
+        self.images = "IMAGES"
+
+    def next_indices(self):
+        start = self._n * self.batch
+        self._n += 1
+        idx = self._np.arange(start, start + self.batch)
+        return idx, idx % 10  # labels
+
+    def materialize(self, idx):
+        self.gathers += 1
+        return ("batch", tuple(idx))
+
+
+def test_block_dispatcher_block_and_single_paths():
+    import numpy as np
+
+    from contrad_tpu.training.dispatch import BlockDispatcher
+
+    ld = _IndexLoader()
+    d = BlockDispatcher(ld, k_dispatch=4, max_steps=100)
+
+    blk = d.next_block(step=1)  # aligned -> full block
+    assert blk.kind == "block" and blk.k == 4
+    assert blk.idx_block.shape == (4, 4)
+    # idx is the LAST step's indices (the eval preview shows the latest batch)
+    np.testing.assert_array_equal(blk.idx, blk.idx_block[-1])
+    assert len(blk.labels_block) == 4
+    assert ld.gathers == 0  # nothing materialized yet
+    b = blk.materialize()
+    assert ld.gathers == 1 and b[1] == tuple(blk.idx)
+    blk.materialize()
+    assert ld.gathers == 1  # cached
+
+    blk2 = d.next_block(step=3)  # misaligned -> single fused step
+    assert blk2.kind == "indexed" and blk2.k == 1
+    # stream continuity: single follows the block's 4 batches
+    assert blk2.idx[0] == 4 * 4
+
+    class _HostLoader:
+        def __iter__(self):
+            return self
+
+        def __next__(self):
+            return "HOSTBATCH", "LABELS"
+
+    d3 = BlockDispatcher(_HostLoader(), k_dispatch=1, max_steps=10)
+    blk3 = d3.next_block(step=1)
+    assert blk3.kind == "batch" and blk3.k == 1
+    assert blk3.materialize() == "HOSTBATCH" and blk3.labels == "LABELS"

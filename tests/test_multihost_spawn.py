@@ -132,3 +132,29 @@ def test_two_process_cli(tmp_path):
     assert all(np.isfinite(s["value"]) for s in scalars)
     # the eval-gating notice fired on both ranks
     assert sum("in-loop FID/GIF disabled" in o for o in outs) >= 1
+
+
+def test_spawn_world_drains_pipes_concurrently(tmp_path):
+    """A rank that floods stdout past the 64 KB pipe capacity BEFORE the
+    barrier the other rank is waiting on must not deadlock the world:
+    spawn_world drains all pipes concurrently (a sequential communicate()
+    loop blocks rank 1 on the pipe write, rank 0 on the barrier, and times
+    out the whole run)."""
+    flag = str(tmp_path / "rank1_done")
+    waiter = (f"import os, time\n"
+              f"deadline = time.time() + 60\n"
+              f"while not os.path.exists({flag!r}):\n"
+              f"    assert time.time() < deadline, 'barrier timeout'\n"
+              f"    time.sleep(0.05)\n"
+              f"print('rank0 ok')\n")
+    flooder = (f"import sys, pathlib\n"
+               f"sys.stdout.write('x' * 300_000)\n"   # >> pipe capacity
+               f"sys.stdout.flush()\n"
+               f"pathlib.Path({flag!r}).touch()\n")
+    env = dict(os.environ)
+    outs = spawn_world(
+        [([sys.executable, "-c", waiter], env),
+         ([sys.executable, "-c", flooder], env)],
+        cwd=REPO, timeout=90)
+    assert "rank0 ok" in outs[0]
+    assert len(outs[1]) >= 300_000

@@ -188,3 +188,66 @@ def test_eval_state_roundtrip_best_gating(tmp_path):
     fid3.update(step=400, sampler=good_sampler)
     assert len(fid3.history[-1]) == 3 + 2  # [step, t0, t1, t2, mean]
     save_eval_state(logdir, eval_seed=1, fid=fid3)  # and it round-trips
+
+
+def test_eval_state_provenance_and_frame_files(tmp_path):
+    """(a) A restored FID `best` is only honored when the embedder and
+    fid_size match — resuming with a different --fid_embed (moments →
+    inception once weights exist) must re-arm ckpt/best gating instead of
+    freezing it at an incomparable number. (b) GIF frames persist as one
+    immutable .npy per frame (written once — not the O(evals²) full-stack
+    rewrite), and a rolled-back resume drops stale later frames."""
+    from contrad_tpu.evaluate.fid import FIDScore
+    from contrad_tpu.evaluate.persist import (
+        _frame_path, restore_eval_state, save_eval_state)
+    from contrad_tpu.evaluate.visual import FixedSampleGeneration
+
+    stats_dir = str(tmp_path / "stats")
+    fid = FIDScore("synthetic_16", size=64, n_avg=2, embedder="moments",
+                   stats_dir=stats_dir)
+
+    def sampler(n, seed):
+        return np.random.default_rng(seed).uniform(size=(n, 16, 16, 3))
+
+    fid.update(step=100, sampler=sampler)
+    logdir = str(tmp_path / "run")
+    os.makedirs(logdir)
+
+    g = GSndcgan(image_size=IMG, ngf=8, nz=16)
+    fixed = FixedSampleGeneration(g, jax.random.PRNGKey(3), n=4)
+    fixed.frames.append(np.full((10, 10, 3), 7, dtype=np.uint8))
+    save_eval_state(logdir, eval_seed=1, fid=fid, fixed_gen=fixed)
+
+    # (a) different fid_size -> gate re-armed
+    fid_sz = FIDScore("synthetic_16", size=32, n_avg=2, embedder="moments",
+                      stats_dir=stats_dir)
+    restore_eval_state(logdir, fid=fid_sz)
+    assert fid_sz.best == float("inf") and fid_sz.history == []
+    # matching provenance -> restored
+    fid_ok = FIDScore("synthetic_16", size=64, n_avg=2, embedder="moments",
+                      stats_dir=stats_dir)
+    restore_eval_state(logdir, fid=fid_ok)
+    assert fid_ok.best == fid.best
+
+    # (b) frames are per-file and write-once
+    f0 = _frame_path(logdir, 0)
+    assert os.path.exists(f0)
+    mtime = os.path.getmtime(f0)
+    fixed.frames.append(np.full((10, 10, 3), 9, dtype=np.uint8))
+    save_eval_state(logdir, eval_seed=1, fid=fid, fixed_gen=fixed)
+    assert os.path.getmtime(f0) == mtime  # frame 0 not rewritten
+    assert os.path.exists(_frame_path(logdir, 1))
+
+    fixed2 = FixedSampleGeneration(g, jax.random.PRNGKey(9), n=4)
+    restore_eval_state(logdir, fixed_gen=fixed2)
+    assert len(fixed2.frames) == 2
+    np.testing.assert_array_equal(fixed2.frames[1],
+                                  np.full((10, 10, 3), 9, np.uint8))
+
+    # roll back: sidecar says 1 frame, dir has 2 -> stale frame 1 dropped
+    fixed.frames.pop()
+    save_eval_state(logdir, eval_seed=1, fid=fid, fixed_gen=fixed)
+    fixed3 = FixedSampleGeneration(g, jax.random.PRNGKey(9), n=4)
+    restore_eval_state(logdir, fixed_gen=fixed3)
+    assert len(fixed3.frames) == 1
+    assert not os.path.exists(_frame_path(logdir, 1))

@@ -26,16 +26,16 @@ EXTRA_FLAGS="${EXTRA_FLAGS:-}"          # extra CLI flags (no --override here)
 EXTRA_OVERRIDES="${EXTRA_OVERRIDES:-}"  # extra options.* overrides
 export DATA_DIR
 
-echo "== [1/4] asset check (dataset: $DATASET, embedder: $EMBED)"
+echo "== [1/5] asset check (dataset: $DATASET, embedder: $EMBED)"
 if [ "$EMBED" = "inception" ]; then
     python tools/fetch_assets.py --data_dir "$DATA_DIR" \
         || { echo "asset fetch failed — need network, or pre-place the files"; exit 1; }
 fi
 
-echo "== [2/4] FID reference stats ($DATASET reference split)"
+echo "== [2/5] FID reference stats ($DATASET reference split)"
 python tools/precalc_stats.py --dataset "$DATASET" --embed "$EMBED"
 
-echo "== [3/4] flagship training: sndcgan + contrad + simclr, b512, $STEPS steps"
+echo "== [3/5] flagship training: sndcgan + contrad + simclr, b512, $STEPS steps"
 python train_gan.py configs/gan/cifar10/c10_b512.toml sndcgan \
     --mode contrad --aug simclr --use_warmup \
     --fid_embed "$EMBED" --evaluate_every "$EVAL_EVERY" \

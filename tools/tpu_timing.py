@@ -58,10 +58,16 @@ def time_chained(
 
 
 def time_step(step_fn: Callable, state, *args, n_short: int = 5,
-              n_long: int = 25, trials: int = 3) -> float:
+              n_long: int = 25, trials: int = 3, warmup: int = 1,
+              return_state: bool = False):
     """Per-step seconds for a train-step-shaped ``(state, *args) -> (state,
-    metrics)`` function (metrics read back to force completion)."""
-    st, m = step_fn(state, *args)
+    metrics)`` function (metrics read back to force completion).
+
+    With ``return_state=True`` returns ``(seconds, final_state)`` so callers
+    can keep training/evaluating on the evolved (donated-through) state."""
+    st, m = state, None
+    for _ in range(max(warmup, 1)):
+        st, m = step_fn(st, *args)
     _readback(m)
 
     def run(n, st):
@@ -78,4 +84,5 @@ def time_step(step_fn: Callable, state, *args, n_short: int = 5,
         shorts.append(dt)
         dt, st = run(n_long, st)
         longs.append(dt)
-    return (min(longs) - min(shorts)) / (n_long - n_short)
+    per_step = (min(longs) - min(shorts)) / (n_long - n_short)
+    return (per_step, st) if return_state else per_step

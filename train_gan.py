@@ -103,6 +103,10 @@ def main():
 
         init_distributed()
 
+    from contrad_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # dedup identical programs across runs/restarts
+
     import imageio
     import jax.numpy as jnp
 
@@ -229,10 +233,16 @@ def main():
     if not P.no_fid:
         try:
             from contrad_tpu.evaluate.fid import FIDScore
-            from contrad_tpu.evaluate.sharded import make_feature_sampler
 
             fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg,
                            embedder=P.fid_embed)
+        except Exception as e:  # missing inception weights / stats
+            fid = None  # a half-built tracker must not reach the eval loop
+            logger.log(f"FID disabled: {e}")
+    if fid is not None:
+        try:
+            from contrad_tpu.evaluate.sharded import make_feature_sampler
+
             # Fused mesh-sharded sampler+embedder: one jitted SPMD program,
             # >=512 samples/call, only features cross to the host
             # (replaces the reference's batch-50 host loop,
@@ -240,9 +250,14 @@ def main():
             fid_feature_fn = make_feature_sampler(
                 trainer, embedder=P.fid_embed,
                 batch_per_call=min(512, opt.fid_size))
-        except Exception as e:  # missing inception weights / stats
-            fid = None  # a half-built tracker must not reach the eval loop
-            logger.log(f"FID disabled: {e}")
+        except Exception as e:
+            # The tracker itself is fine — fall back to the reference-protocol
+            # batch-50 host loop rather than training with no FID / no
+            # ckpt/best gating (e.g. no HBM headroom to replicate the
+            # embedder variables next to the 512² train state).
+            fid_feature_fn = None
+            logger.log(f"sharded FID sampler unavailable ({e}); "
+                       f"falling back to the host-loop sampler")
 
     if P.resume:
         # Restore eval-side state (FID best/history, GIF latents+frames,
@@ -270,45 +285,39 @@ def main():
     # K steps run inside ONE jitted lax.scan program (train_steps_indexed),
     # amortizing the dispatch RPC; events stay exact because K divides every
     # cadence and blocks launch only at aligned steps.
-    from contrad_tpu.training.dispatch import (block_size,
+    from contrad_tpu.training.dispatch import (BlockDispatcher,
                                                resolve_steps_per_dispatch)
 
-    fuse_gather = getattr(loader, "supports_indexed", False)
-    k_dispatch = resolve_steps_per_dispatch(
-        P.steps_per_dispatch, fuse_gather, P.trace_steps,
-        P.print_every, P.evaluate_every, P.save_every)
-    if k_dispatch > 1:
-        logger.log(f"Multi-step dispatch: {k_dispatch} steps/program")
+    dispatcher = BlockDispatcher(loader, resolve_steps_per_dispatch(
+        P.steps_per_dispatch, getattr(loader, "supports_indexed", False),
+        P.trace_steps, P.print_every, P.evaluate_every, P.save_every),
+        opt.max_steps)
+    if dispatcher.k_dispatch > 1:
+        logger.log(f"Multi-step dispatch: {dispatcher.k_dispatch} "
+                   f"steps/program")
     t0 = time.time()
     imgs_seen = 0
     step = starting_step
     while step <= opt.max_steps:
-        k = block_size(step, k_dispatch, opt.max_steps, loader)
-        if k > 1:
-            pairs = [loader.next_indices() for _ in range(k)]
-            idx_block = np.stack([p[0] for p in pairs])
-            batch = None
-            idx = idx_block[-1]  # for the eval-time aug-preview materialize
-            labels_block = (np.stack([np.asarray(p[1]) for p in pairs])
+        blk = dispatcher.next_block(step)
+        if blk.kind == "block":
+            labels_block = (np.stack(blk.labels_block)
                             if P.conditional else None)
             state, metrics = trainer.train_steps_indexed(
-                state, loader.images, idx_block,
+                state, loader.images, blk.idx_block,
                 local=loader.local_indexing, labels_block=labels_block)
-            step += k - 1  # `step` is now the block's LAST step
-        elif fuse_gather:
-            idx, batch_labels = loader.next_indices()
-            batch = None  # materialized lazily for the eval-time aug preview
-            labels = (trainer.place_batch(np.asarray(batch_labels))
-                      if P.conditional else None)
-            state, metrics = trainer.train_step_indexed(
-                state, loader.images, idx, local=loader.local_indexing,
-                labels=labels)
+            step += blk.k - 1  # `step` is now the block's LAST step
         else:
-            batch, batch_labels = next(loader)  # prefetched + on device
-            labels = (trainer.place_batch(np.asarray(batch_labels))
+            labels = (trainer.place_batch(np.asarray(blk.labels))
                       if P.conditional else None)
-            state, metrics = trainer.train_step(state, batch, labels=labels)
-        imgs_seen += opt.batch_size * opt.n_critic * k  # n_critic batches/step
+            if blk.kind == "indexed":
+                state, metrics = trainer.train_step_indexed(
+                    state, loader.images, blk.idx,
+                    local=loader.local_indexing, labels=labels)
+            else:
+                state, metrics = trainer.train_step(
+                    state, blk.materialize(), labels=labels)
+        imgs_seen += opt.batch_size * opt.n_critic * blk.k  # n_critic/step
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:
             jax.block_until_ready(state.g_params)
@@ -330,8 +339,14 @@ def main():
         if step % P.evaluate_every == 0:
             logger.log_dirname(f"Steps {step + 1}")
             if fid is not None:
-                fid_avg = fid.update(
-                    step, feature_fn=lambda n, s: fid_feature_fn(state, n, s))
+                if fid_feature_fn is not None:
+                    fid_avg = fid.update(
+                        step,
+                        feature_fn=lambda n, s: fid_feature_fn(state, n, s))
+                else:  # host-loop fallback (reference protocol)
+                    fid_avg = fid.update(step, sampler=lambda n, r: np.asarray(
+                        jax.device_get(trainer.sample_fn(
+                            state, n, False, False, jnp.asarray(r)))))
                 fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
                 logger.scalar_summary("gan/test/fid", fid_avg, step)
                 logger.scalar_summary("gan/test/fid/best", fid.best, step)
@@ -344,11 +359,11 @@ def main():
                 imageio.mimsave(
                     os.path.join(logger.logdir, f"training_progress_{eval_seed}.gif"),
                     fixed_gen.summary())
-                if batch is None:  # fused-gather path defers materialization
-                    batch = loader.materialize(idx)
+                # fused-gather paths defer materialization until here
                 grid = image_grid.update(aug_preview(
                     jax.random.PRNGKey(step),
-                    batch[: opt.batch_size].astype(jnp.float32) / 255.0))
+                    blk.materialize()[: opt.batch_size].astype(jnp.float32)
+                    / 255.0))
                 if grid is not None:
                     imageio.imsave(
                         os.path.join(logger.logdir, f"real_augment_{eval_seed}.jpg"),

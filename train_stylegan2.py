@@ -106,6 +106,10 @@ def main():
 
         init_distributed()
 
+    from contrad_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # dedup identical programs across runs/restarts
+
     import imageio
     import jax.numpy as jnp
 
@@ -241,10 +245,16 @@ def main():
     if not P.no_fid:
         try:
             from contrad_tpu.evaluate.fid import FIDScore
-            from contrad_tpu.evaluate.sharded import make_feature_sampler
 
             fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg,
                            embedder=P.fid_embed)
+        except Exception as e:
+            fid = None  # a half-built tracker must not reach the eval loop
+            logger.log(f"FID disabled: {e}")
+    if fid is not None:
+        try:
+            from contrad_tpu.evaluate.sharded import make_feature_sampler
+
             # Fused mesh-sharded sampler+embedder on the EMA generator
             # (reference evaluates g_ema, train_stylegan2.py:249); one jitted
             # SPMD program, >=512 samples/call, features-only readback.
@@ -252,8 +262,13 @@ def main():
                 trainer, embedder=P.fid_embed, use_ema=True,
                 batch_per_call=min(512, opt.fid_size))
         except Exception as e:
-            fid = None  # a half-built tracker must not reach the eval loop
-            logger.log(f"FID disabled: {e}")
+            # Tracker is fine — fall back to the reference-protocol batch-50
+            # host loop rather than training with no FID / no ckpt/best
+            # gating (e.g. no HBM headroom to replicate the embedder
+            # variables next to the 512² train state).
+            fid_feature_fn = None
+            logger.log(f"sharded FID sampler unavailable ({e}); "
+                       f"falling back to the host-loop sampler")
 
     if P.resume:
         # Restore eval-side state (FID best/history, GIF latents+frames,
@@ -278,50 +293,47 @@ def main():
     # With steps_per_dispatch > 1, K steps run inside ONE jitted lax.scan
     # program — the lazy-R1 cadence and the ema_start gate become per-step
     # vectors evaluated by lax.cond INSIDE the program.
-    from contrad_tpu.training.dispatch import (block_size,
+    from contrad_tpu.training.dispatch import (BlockDispatcher,
                                                resolve_steps_per_dispatch)
 
-    fuse_gather = getattr(loader, "supports_indexed", False)
-    k_dispatch = resolve_steps_per_dispatch(
-        P.steps_per_dispatch, fuse_gather, P.trace_steps,
-        P.print_every, P.evaluate_every, P.save_every)
-    if k_dispatch > 1:
-        logger.log(f"Multi-step dispatch: {k_dispatch} steps/program")
+    dispatcher = BlockDispatcher(loader, resolve_steps_per_dispatch(
+        P.steps_per_dispatch, getattr(loader, "supports_indexed", False),
+        P.trace_steps, P.print_every, P.evaluate_every, P.save_every),
+        opt.max_steps)
+    if dispatcher.k_dispatch > 1:
+        logger.log(f"Multi-step dispatch: {dispatcher.k_dispatch} "
+                   f"steps/program")
     t0, imgs_seen = time.time(), 0
     step = starting_step
     while step <= opt.max_steps:
-        k = block_size(step, k_dispatch, opt.max_steps, loader)
-        if k > 1:
-            steps_arr = np.arange(step, step + k)
+        blk = dispatcher.next_block(step)
+        if blk.kind == "block":
+            # lazy-R1 cadence + ema_start gate as per-step vectors, resolved
+            # by lax.cond INSIDE the scanned program
+            steps_arr = np.arange(step, step + blk.k)
             r1_vec = (steps_arr % P.d_reg_every == 0) & (P.lbd_r1 > 0)
             ema_vec = np.where(
                 steps_arr * opt.batch_size > P.ema_start_k * 1000,
                 accum, 0.0).astype(np.float32)
-            idx_block = np.stack(
-                [loader.next_indices()[0] for _ in range(k)])
-            batch = None
-            idx = idx_block[-1]  # for the eval-time aug-preview materialize
             state, metrics = trainer.train_steps_indexed(
-                state, loader.images, idx_block,
+                state, loader.images, blk.idx_block,
                 local=loader.local_indexing, ema_decay=ema_vec, do_r1=r1_vec)
-            step += k - 1  # `step` is now the block's LAST step
+            step += blk.k - 1  # `step` is now the block's LAST step
         else:
             do_r1 = (step % P.d_reg_every == 0) and (P.lbd_r1 > 0)
             do_ema = (step * opt.batch_size) > (P.ema_start_k * 1000)
             ema_decay = accum if do_ema else 0.0
 
-            if fuse_gather:
-                idx, _ = loader.next_indices()
-                batch = None  # materialized lazily for the aug preview
+            if blk.kind == "indexed":
                 state, metrics = trainer.train_step_indexed(
-                    state, loader.images, idx, local=loader.local_indexing,
+                    state, loader.images, blk.idx,
+                    local=loader.local_indexing,
                     ema_decay=ema_decay, do_r1=do_r1)
             else:
-                batch, _ = next(loader)  # prefetched + already on device
-                state, metrics = trainer.train_step(state, batch,
-                                                    ema_decay=ema_decay,
-                                                    do_r1=do_r1)
-        imgs_seen += opt.batch_size * opt.n_critic * k  # n_critic batches/step
+                state, metrics = trainer.train_step(
+                    state, blk.materialize(), ema_decay=ema_decay,
+                    do_r1=do_r1)
+        imgs_seen += opt.batch_size * opt.n_critic * blk.k  # n_critic/step
 
         if P.trace_steps > 0 and step == starting_step + P.trace_steps:
             jax.block_until_ready(state.g_params)
@@ -342,8 +354,14 @@ def main():
         if step % P.evaluate_every == 0:
             logger.log_dirname(f"Steps {step + 1}")
             if fid is not None:
-                fid_avg = fid.update(
-                    step, feature_fn=lambda n, s: fid_feature_fn(state, n, s))
+                if fid_feature_fn is not None:
+                    fid_avg = fid.update(
+                        step,
+                        feature_fn=lambda n, s: fid_feature_fn(state, n, s))
+                else:  # host-loop fallback on the EMA generator
+                    fid_avg = fid.update(step, sampler=lambda n, r: np.asarray(
+                        jax.device_get(trainer.sample_fn(
+                            state, n, True, False, jnp.asarray(r)))))
                 fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
                 logger.scalar_summary("gan/test/fid", fid_avg, step)
                 logger.scalar_summary("gan/test/fid/best", fid.best, step)
@@ -357,11 +375,11 @@ def main():
                 imageio.mimsave(
                     os.path.join(logger.logdir, f"training_progress_{eval_seed}.gif"),
                     fixed_gen.summary())
-                if batch is None:  # fused-gather path defers materialization
-                    batch = loader.materialize(idx)
+                # fused-gather paths defer materialization until here
                 grid = image_grid.update(aug_preview(
                     jax.random.PRNGKey(step),
-                    batch[: opt.batch_size].astype(jnp.float32) / 255.0))
+                    blk.materialize()[: opt.batch_size].astype(jnp.float32)
+                    / 255.0))
                 if grid is not None:
                     imageio.imsave(
                         os.path.join(logger.logdir, f"real_augment_{eval_seed}.jpg"),
