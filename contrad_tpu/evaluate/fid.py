@@ -160,7 +160,7 @@ class FIDScore:
     def __init__(self, dataset: str, size: int = 10000, n_avg: int = 3,
                  embed_fn: Optional[EmbedFn] = None,
                  stats_dir: Optional[str] = None, batch_size: int = 50,
-                 embedder: str = "inception"):
+                 embedder: str = "inception", precompute_ok: bool = True):
         if embedder != "inception" and stats_dir is None:
             # never mix debug-embedder stats with real inception stats
             stats_dir = os.path.join(STATS_DIR, embedder)
@@ -173,6 +173,13 @@ class FIDScore:
 
         path = stats_path(dataset, stats_dir)
         if not os.path.exists(path):
+            if not precompute_ok:
+                # Multi-host callers must not race the stats write (every
+                # process would precompute + savez the same file).
+                raise RuntimeError(
+                    f"FID reference stats missing at {path}; precompute "
+                    f"them once first: python tools/precalc_stats.py "
+                    f"--dataset {dataset} --embed {embedder}")
             path = precompute_stats(dataset, self.embed_fn, stats_dir,
                                     batch_size)
         stats = np.load(path)

@@ -20,7 +20,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from contrad_tpu.parallel.mesh import batch_sharding, replicated
+from contrad_tpu.parallel.mesh import (batch_sharding, place_global_batch,
+                                        replicated)
 
 
 def moments_embed_jax(x: jax.Array) -> jax.Array:
@@ -69,12 +70,24 @@ def make_feature_sampler(trainer, embedder: str = "inception",
     deterministic in ``seed`` (chunk i uses PRNGKey(seed * 100003 + i), the
     same stream-splitting constant the host sampler path uses, fid.py:78).
     ``use_ema`` selects the EMA generator (reference evaluates StyleGAN2 FID
-    on g_ema, train_stylegan2.py:249)."""
+    on g_ema, train_stylegan2.py:249).
+
+    Multi-host: the program is collective — EVERY process must call
+    ``feature_fn`` with identical arguments (it is one SPMD dispatch over the
+    global mesh). Each process seeds the identical global latent batch and
+    contributes its local rows; features come back fully replicated so every
+    host reads the complete matrix (the reference gates FID on rank 0 and
+    samples on one GPU, train_gan.py:192-225 — here sampling/embedding stay
+    distributed and only the cheap O(d^3) stats math is duplicated)."""
     mesh = trainer.mesh
     n_dev = int(mesh.devices.size)
     batch_per_call = max(n_dev, batch_per_call - batch_per_call % n_dev)
     embed = get_jax_embed_forward(embedder, mesh, inception_path)
     b_shard = batch_sharding(mesh)
+    world = jax.process_count()
+    # Cross-process readback of a process-sharded array is not addressable;
+    # replicate the (small) feature output so every host sees all of it.
+    out_sharding = replicated(mesh) if world > 1 else b_shard
 
     def _gen_embed(state, z, noise_rng):
         params = state.g_ema_params if use_ema else state.g_params
@@ -83,7 +96,15 @@ def make_feature_sampler(trainer, embedder: str = "inception",
                                     update_state=False, rng=noise_rng)
         return embed(images.astype(jnp.float32))
 
-    gen_embed = jax.jit(_gen_embed, out_shardings=b_shard)
+    gen_embed = jax.jit(_gen_embed, out_shardings=out_sharding)
+
+    def _place_z(z):
+        if world == 1:
+            return jax.device_put(z, b_shard)
+        per = batch_per_call // world
+        r = jax.process_index()
+        return place_global_batch(np.asarray(z)[r * per : (r + 1) * per],
+                                  mesh)
 
     def feature_fn(state, n: int, seed: int = 0) -> np.ndarray:
         feats = []
@@ -91,9 +112,8 @@ def make_feature_sampler(trainer, embedder: str = "inception",
         while remaining > 0:
             rng = jax.random.PRNGKey(seed * 100003 + i)
             z_rng, noise_rng = jax.random.split(rng)
-            z = jax.device_put(
-                trainer.generator.sample_latent(z_rng, batch_per_call),
-                b_shard)
+            z = _place_z(
+                trainer.generator.sample_latent(z_rng, batch_per_call))
             f = gen_embed(state, z, noise_rng)
             take = min(batch_per_call, remaining)
             feats.append(np.asarray(jax.device_get(f))[:take])

@@ -42,6 +42,10 @@ def main(argv=None):
     p.add_argument("--metrics_out", type=str, default=None,
                    help="rank 0 writes per-step metrics JSON here")
     p.add_argument("--aug", type=str, default="none")
+    p.add_argument("--fid_stats_dir", type=str, default=None,
+                   help="run a collective in-loop FID eval (moments embedder) "
+                        "against PRE-COMPUTED reference stats in this dir; "
+                        "rank 0 appends the score to the metrics JSON")
     args = p.parse_args(argv)
 
     # Platform shaping must precede jax backend init.
@@ -115,6 +119,23 @@ def main(argv=None):
     jax.block_until_ready(state.g_params)
     assert int(state.step) == args.steps
 
+    if args.fid_stats_dir:
+        # In-loop FID exactly as the CLIs run it multihost: the fused
+        # sampler+embedder is ONE collective SPMD program every process
+        # joins; each host reads the replicated features and computes the
+        # identical score (train_gan.py's world>1 eval path).
+        from contrad_tpu.evaluate.fid import FIDScore
+        from contrad_tpu.evaluate.sharded import make_feature_sampler
+
+        fid = FIDScore("synthetic_16", size=32, n_avg=2, embedder="moments",
+                       stats_dir=args.fid_stats_dir,
+                       precompute_ok=(world == 1))
+        feature_fn = make_feature_sampler(trainer, embedder="moments",
+                                          batch_per_call=2 * n_global)
+        avg = fid.update(step=args.steps,
+                         feature_fn=lambda n, s: feature_fn(state, n, s))
+        history.append({"fid": float(avg), "fid_best": float(fid.best)})
+
     if args.logdir:
         from contrad_tpu.utils import save_checkpoint
 
@@ -125,8 +146,8 @@ def main(argv=None):
         with open(args.metrics_out, "w") as f:
             json.dump(history, f)
 
-    print(f"mh_worker rank {rank}/{world}: ok, "
-          f"{args.steps} steps, final D_loss={history[-1]['D_loss']:.5f}",
+    print(f"mh_worker rank {rank}/{world}: ok, {args.steps} steps, "
+          f"final D_loss={history[args.steps - 1]['D_loss']:.5f}",
           flush=True)
     if world > 1:
         jax.distributed.shutdown()

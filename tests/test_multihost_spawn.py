@@ -98,13 +98,23 @@ def test_two_process_training_parity(tmp_path):
 def test_two_process_cli(tmp_path):
     """The full ``train_gan.py --multihost`` CLI with process_count == 2:
     both ranks resolve the SAME pinned logdir, only rank 0 writes logs,
-    in-loop FID/GIF are gated off, and the checkpoint lands collectively."""
+    the GIF is gated off but in-loop FID runs COLLECTIVELY (fused
+    mesh-sharded sampler, rank-0 CSV), and the checkpoint lands
+    collectively."""
+    from contrad_tpu.evaluate.fid import FIDScore
+
+    # Multihost FIDScore refuses to precompute (precompute_ok=False — the
+    # processes would race the stats write); precompute once here, exactly
+    # as production does via tools/precalc_stats.py.
+    FIDScore("synthetic_16", size=64, n_avg=2, embedder="moments")
+
     port = _free_port()
     root = str(tmp_path / "logs")
     cmd = [sys.executable, "train_gan.py",
            "configs/gan/cifar10/c10_smoke.toml", "sndcgan",
            "--mode", "contrad", "--aug", "none", "--multihost",
-           "--platform", "cpu",
+           "--platform", "cpu", "--fid_embed", "moments",
+           "--n_eval_avg", "2",
            "--print_every", "1", "--evaluate_every", "3", "--seed", "3",
            "--logdir_root", root, "--override", "options.max_steps=4"]
 
@@ -131,7 +141,12 @@ def test_two_process_cli(tmp_path):
     assert len(g_losses) == 4  # print_every=1, no duplicate rank-1 writes
     assert all(np.isfinite(s["value"]) for s in scalars)
     # the eval-gating notice fired on both ranks
-    assert sum("in-loop FID/GIF disabled" in o for o in outs) >= 1
+    assert sum("in-loop GIF/aug-preview disabled" in o for o in outs) >= 1
+    # in-loop FID ran collectively: rank 0 wrote the CSV + the TB scalar
+    fid_csvs = [f for f in os.listdir(logdir) if f.startswith("results_fid")]
+    assert len(fid_csvs) == 1, f"expected one FID CSV, got {fid_csvs}"
+    fid_scalars = [s for s in scalars if s["tag"] == "gan/test/fid"]
+    assert len(fid_scalars) == 1 and np.isfinite(fid_scalars[0]["value"])
 
 
 def test_spawn_world_drains_pipes_concurrently(tmp_path):
@@ -158,3 +173,42 @@ def test_spawn_world_drains_pipes_concurrently(tmp_path):
         cwd=REPO, timeout=90)
     assert "rank0 ok" in outs[0]
     assert len(outs[1]) >= 300_000
+
+
+@pytest.mark.slow
+def test_two_process_collective_fid_parity(tmp_path):
+    """In-loop FID in a 2-process world: the fused sampler+embedder runs as
+    one collective SPMD program both processes join, and the score matches
+    the 1-process run on identical state (the features are seeded by the
+    same keys, so only collective-reduction float association differs)."""
+    from contrad_tpu.evaluate.fid import FIDScore
+
+    stats_dir = str(tmp_path / "stats")
+    FIDScore("synthetic_16", size=32, n_avg=2, embedder="moments",
+             stats_dir=stats_dir)  # precompute once (production protocol)
+
+    port = _free_port()
+    m2 = str(tmp_path / "metrics_2p.json")
+    m1 = str(tmp_path / "metrics_1p.json")
+    worker = [sys.executable, "-m", "contrad_tpu.parallel._mh_worker"]
+
+    _spawn_world([
+        (worker + ["--rank", str(r), "--world", "2", "--port", str(port),
+                   "--devices_per_proc", "4", "--steps", "2",
+                   "--fid_stats_dir", stats_dir]
+         + (["--metrics_out", m2] if r == 0 else []),
+         _clean_env(4))
+        for r in range(2)
+    ])
+    _spawn_world([
+        (worker + ["--rank", "0", "--world", "1", "--devices_per_proc", "8",
+                   "--steps", "2", "--fid_stats_dir", stats_dir,
+                   "--metrics_out", m1],
+         _clean_env(8)),
+    ])
+
+    fid2 = json.load(open(m2))[-1]
+    fid1 = json.load(open(m1))[-1]
+    assert np.isfinite(fid2["fid"]) and np.isfinite(fid1["fid"])
+    np.testing.assert_allclose(fid2["fid"], fid1["fid"], rtol=1e-3,
+                               err_msg="collective FID != single-process FID")

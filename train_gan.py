@@ -138,13 +138,15 @@ def main():
     from contrad_tpu.parallel.mesh import data_shard
 
     rank, world = data_shard()
-    if world > 1 and (not P.no_fid or not P.no_gif):
-        # In-loop FID/GIF run jitted collective programs; gating them on one
-        # process would deadlock the others. Evaluate offline (test_fid_is.py)
-        # against the saved checkpoints instead.
-        print(f"[multihost rank {rank}] in-loop FID/GIF disabled "
-              f"({world} processes); evaluate offline from checkpoints")
-        P.no_fid = P.no_gif = True
+    if world > 1 and not P.no_gif:
+        # The GIF/aug-preview sampler is a per-host image pipeline; keep it
+        # single-host (evaluate offline from checkpoints). In-loop FID stays
+        # ON: the fused sampler+embedder is a collective SPMD program every
+        # process joins; only rank 0 writes CSV/TB (reference rank gating:
+        # train_gan.py:192-225).
+        print(f"[multihost rank {rank}] in-loop GIF/aug-preview disabled "
+              f"({world} processes); FID runs collectively")
+        P.no_gif = True
 
     if P.conditional and train_set.n_classes <= 1:
         raise ValueError(
@@ -235,10 +237,14 @@ def main():
             from contrad_tpu.evaluate.fid import FIDScore
 
             fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg,
-                           embedder=P.fid_embed)
+                           embedder=P.fid_embed,
+                           precompute_ok=(world == 1))
         except Exception as e:  # missing inception weights / stats
             fid = None  # a half-built tracker must not reach the eval loop
-            logger.log(f"FID disabled: {e}")
+            if rank == 0:
+                logger.log(f"FID disabled: {e}")
+            elif world > 1:
+                print(f"[multihost rank {rank}] FID disabled: {e}")
     if fid is not None:
         try:
             from contrad_tpu.evaluate.sharded import make_feature_sampler
@@ -246,18 +252,25 @@ def main():
             # Fused mesh-sharded sampler+embedder: one jitted SPMD program,
             # >=512 samples/call, only features cross to the host
             # (replaces the reference's batch-50 host loop,
-            # third_party/fid/fid_score.py:115-158).
+            # third_party/fid/fid_score.py:115-158). Collective: in a
+            # multihost world every process joins each call.
             fid_feature_fn = make_feature_sampler(
                 trainer, embedder=P.fid_embed,
                 batch_per_call=min(512, opt.fid_size))
         except Exception as e:
-            # The tracker itself is fine — fall back to the reference-protocol
-            # batch-50 host loop rather than training with no FID / no
-            # ckpt/best gating (e.g. no HBM headroom to replicate the
-            # embedder variables next to the 512² train state).
             fid_feature_fn = None
-            logger.log(f"sharded FID sampler unavailable ({e}); "
-                       f"falling back to the host-loop sampler")
+            if world == 1:
+                # The tracker itself is fine — fall back to the
+                # reference-protocol batch-50 host loop rather than training
+                # with no FID / no ckpt/best gating (e.g. no HBM headroom to
+                # replicate the embedder variables next to the train state).
+                logger.log(f"sharded FID sampler unavailable ({e}); "
+                           f"falling back to the host-loop sampler")
+            else:
+                # The host-loop sampler is not a collective program; without
+                # the fused sampler a multihost run cannot eval in-loop.
+                fid = None
+                logger.log(f"FID disabled (multihost, no fused sampler: {e})")
 
     if P.resume:
         # Restore eval-side state (FID best/history, GIF latents+frames,
@@ -347,7 +360,9 @@ def main():
                     fid_avg = fid.update(step, sampler=lambda n, r: np.asarray(
                         jax.device_get(trainer.sample_fn(
                             state, n, False, False, jnp.asarray(r)))))
-                fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
+                if rank == 0:
+                    fid.save(os.path.join(logger.logdir,
+                                          f"results_fid_{eval_seed}.csv"))
                 logger.scalar_summary("gan/test/fid", fid_avg, step)
                 logger.scalar_summary("gan/test/fid/best", fid.best, step)
                 logger.scalar_summary("gan/test/fid/diversity",

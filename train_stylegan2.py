@@ -146,12 +146,13 @@ def main():
     from contrad_tpu.parallel.mesh import data_shard
 
     rank, world = data_shard()
-    if world > 1 and (not P.no_fid or not P.no_gif):
-        # In-loop FID/GIF run jitted collective programs; gating them on one
-        # process would deadlock the others. Evaluate offline from checkpoints.
-        print(f"[multihost rank {rank}] in-loop FID/GIF disabled "
-              f"({world} processes); evaluate offline from checkpoints")
-        P.no_fid = P.no_gif = True
+    if world > 1 and not P.no_gif:
+        # GIF/aug-preview stay single-host (evaluate offline); in-loop FID
+        # stays ON — the fused sampler+embedder is a collective SPMD program
+        # every process joins, only rank 0 writes CSV/TB (see train_gan.py).
+        print(f"[multihost rank {rank}] in-loop GIF/aug-preview disabled "
+              f"({world} processes); FID runs collectively")
+        P.no_gif = True
 
     dtype = jnp.bfloat16 if P.dtype == "bf16" else jnp.float32
     generator, discriminator = get_architecture(P.architecture, image_size,
@@ -247,10 +248,14 @@ def main():
             from contrad_tpu.evaluate.fid import FIDScore
 
             fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg,
-                           embedder=P.fid_embed)
+                           embedder=P.fid_embed,
+                           precompute_ok=(world == 1))
         except Exception as e:
             fid = None  # a half-built tracker must not reach the eval loop
-            logger.log(f"FID disabled: {e}")
+            if rank == 0:
+                logger.log(f"FID disabled: {e}")
+            elif world > 1:
+                print(f"[multihost rank {rank}] FID disabled: {e}")
     if fid is not None:
         try:
             from contrad_tpu.evaluate.sharded import make_feature_sampler
@@ -258,17 +263,24 @@ def main():
             # Fused mesh-sharded sampler+embedder on the EMA generator
             # (reference evaluates g_ema, train_stylegan2.py:249); one jitted
             # SPMD program, >=512 samples/call, features-only readback.
+            # Collective: in a multihost world every process joins each call.
             fid_feature_fn = make_feature_sampler(
                 trainer, embedder=P.fid_embed, use_ema=True,
                 batch_per_call=min(512, opt.fid_size))
         except Exception as e:
-            # Tracker is fine — fall back to the reference-protocol batch-50
-            # host loop rather than training with no FID / no ckpt/best
-            # gating (e.g. no HBM headroom to replicate the embedder
-            # variables next to the 512² train state).
             fid_feature_fn = None
-            logger.log(f"sharded FID sampler unavailable ({e}); "
-                       f"falling back to the host-loop sampler")
+            if world == 1:
+                # Tracker is fine — fall back to the reference-protocol
+                # batch-50 host loop rather than training with no FID / no
+                # ckpt/best gating (e.g. no HBM headroom to replicate the
+                # embedder variables next to the 512² train state).
+                logger.log(f"sharded FID sampler unavailable ({e}); "
+                           f"falling back to the host-loop sampler")
+            else:
+                # The host-loop sampler is not a collective program; without
+                # the fused sampler a multihost run cannot eval in-loop.
+                fid = None
+                logger.log(f"FID disabled (multihost, no fused sampler: {e})")
 
     if P.resume:
         # Restore eval-side state (FID best/history, GIF latents+frames,
@@ -362,7 +374,9 @@ def main():
                     fid_avg = fid.update(step, sampler=lambda n, r: np.asarray(
                         jax.device_get(trainer.sample_fn(
                             state, n, True, False, jnp.asarray(r)))))
-                fid.save(os.path.join(logger.logdir, f"results_fid_{eval_seed}.csv"))
+                if rank == 0:
+                    fid.save(os.path.join(logger.logdir,
+                                          f"results_fid_{eval_seed}.csv"))
                 logger.scalar_summary("gan/test/fid", fid_avg, step)
                 logger.scalar_summary("gan/test/fid/best", fid.best, step)
                 logger.scalar_summary("gan/test/fid/diversity",
