@@ -39,6 +39,9 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=4)
     p.add_argument("--logdir", type=str, default=None,
                    help="save a collective orbax checkpoint here")
+    p.add_argument("--resume", action="store_true",
+                   help="restore the checkpoint in --logdir before stepping "
+                        "(collective restore: every process reads it)")
     p.add_argument("--metrics_out", type=str, default=None,
                    help="rank 0 writes per-step metrics JSON here")
     p.add_argument("--aug", type=str, default="none")
@@ -95,21 +98,32 @@ def main(argv=None):
         generator, discriminator, mode="contrad", augment_fn=get_augment(args.aug),
         g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
         temp=0.1, lbd_a=1.0, mesh=mesh)
-    state = trainer.place_state(create_train_state(
-        jax.random.PRNGKey(0), generator, discriminator, IMG, g_opt, d_opt))
+    state = create_train_state(
+        jax.random.PRNGKey(0), generator, discriminator, IMG, g_opt, d_opt)
+    if args.resume:
+        from contrad_tpu.utils import has_checkpoint, restore_checkpoint
+
+        assert args.logdir and has_checkpoint(args.logdir), "nothing to resume"
+        state = restore_checkpoint(args.logdir, state)
+    state = trainer.place_state(state)
+    starting_step = int(state.step) + 1
 
     dataset = synthetic_dataset(IMG, n=64, seed=0)
     batch_size = 16
+    steps_per_epoch = len(dataset) // batch_size
     if world > 1:
         loader = make_train_loader(dataset, batch_size, mesh,
                                    place_fn=trainer.place_batch, seed=5,
+                                   starting_step=starting_step,
                                    shard=(rank, world))
     else:
         # Single-process parity oracle: the same seeded global stream the
         # sharded iterators tile (make_train_loader would otherwise pick the
         # device-resident path, which samples differently).
-        loader = PrefetchIterator(BatchIterator(dataset, batch_size, seed=5),
-                                  place_fn=trainer.place_batch)
+        loader = PrefetchIterator(
+            BatchIterator(dataset, batch_size, seed=5,
+                          start_epoch=(starting_step - 1) // steps_per_epoch),
+            place_fn=trainer.place_batch)
 
     history = []
     for _ in range(args.steps):
@@ -117,7 +131,7 @@ def main(argv=None):
         state, metrics = trainer.train_step(state, batch)
         history.append({k: float(v) for k, v in metrics.items()})
     jax.block_until_ready(state.g_params)
-    assert int(state.step) == args.steps
+    assert int(state.step) == starting_step - 1 + args.steps
 
     if args.fid_stats_dir:
         # In-loop FID exactly as the CLIs run it multihost: the fused
@@ -132,7 +146,7 @@ def main(argv=None):
                        precompute_ok=(world == 1))
         feature_fn = make_feature_sampler(trainer, embedder="moments",
                                           batch_per_call=2 * n_global)
-        avg = fid.update(step=args.steps,
+        avg = fid.update(step=int(state.step),
                          feature_fn=lambda n, s: feature_fn(state, n, s))
         history.append({"fid": float(avg), "fid_best": float(fid.best)})
 

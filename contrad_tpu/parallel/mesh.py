@@ -44,6 +44,17 @@ def shard_batch(x, mesh: Mesh):
 
 
 def replicate(tree, mesh: Mesh):
+    """Replicate a (host or single-device) pytree over the whole mesh.
+
+    Multi-process: leaves restored/created on this process's default device
+    are pulled to host first — ``device_put`` of a process-local device
+    array onto a GLOBAL sharding would be a cross-host transfer, which the
+    CPU (and some TPU) backends refuse; every process holds the identical
+    value (same init seed / same collectively-saved checkpoint), so the
+    host round-trip is semantics-free. Startup-only path."""
+    if jax.process_count() > 1:
+        tree = jax.tree.map(
+            lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
     return jax.device_put(tree, replicated(mesh))
 
 

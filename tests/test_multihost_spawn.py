@@ -212,3 +212,43 @@ def test_two_process_collective_fid_parity(tmp_path):
     assert np.isfinite(fid2["fid"]) and np.isfinite(fid1["fid"])
     np.testing.assert_allclose(fid2["fid"], fid1["fid"], rtol=1e-3,
                                err_msg="collective FID != single-process FID")
+
+
+@pytest.mark.slow
+def test_two_process_collective_resume_parity(tmp_path):
+    """Collective orbax save -> collective restore in a NEW 2-process world:
+    a run saved at an epoch boundary and resumed for 4 more steps must match
+    a continuous 8-step run step for step (train state incl. RNG + both
+    optimizer states round-trips through the sharded checkpoint; the data
+    stream re-enters at the right epoch)."""
+    port1, port2, port3 = _free_port(), _free_port(), _free_port()
+    ckpt_dir = str(tmp_path / "mh_resume")
+    m_cont = str(tmp_path / "metrics_cont.json")
+    m_res = str(tmp_path / "metrics_resumed.json")
+    worker = [sys.executable, "-m", "contrad_tpu.parallel._mh_worker"]
+
+    def spawn(port, extra_rank0, extra_all, steps):
+        _spawn_world([
+            (worker + ["--rank", str(r), "--world", "2", "--port", str(port),
+                       "--devices_per_proc", "4", "--steps", str(steps)]
+             + extra_all + (extra_rank0 if r == 0 else []),
+             _clean_env(4))
+            for r in range(2)
+        ])
+
+    # leg 1: 4 steps (one full epoch of the 64-image dataset at b16) + save
+    spawn(port1, [], ["--logdir", ckpt_dir], steps=4)
+    # leg 2: fresh world resumes the checkpoint, 4 more steps
+    spawn(port2, ["--metrics_out", m_res],
+          ["--logdir", ckpt_dir, "--resume"], steps=4)
+    # oracle: continuous 8-step world
+    spawn(port3, ["--metrics_out", m_cont], [], steps=8)
+
+    resumed = json.load(open(m_res))
+    cont = json.load(open(m_cont))
+    assert len(resumed) == 4 and len(cont) == 8
+    for step, (a, b) in enumerate(zip(cont[4:], resumed), start=5):
+        for key in a:
+            np.testing.assert_allclose(
+                a[key], b[key], rtol=1e-4, atol=1e-5,
+                err_msg=f"step {step} metric {key}: continuous vs resumed")
