@@ -45,6 +45,10 @@ def main():
 
     if P.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    from contrad_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # dedup programs across runs
     from contrad_tpu.data.folder import _list_images
     from contrad_tpu.evaluate.fid import (
         calculate_frechet_distance,

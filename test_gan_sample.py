@@ -33,6 +33,10 @@ def main():
     if P.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from contrad_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # dedup programs across runs
+
     from contrad_tpu.evaluate import to_uint8
     from contrad_tpu.training.step import make_g_apply
     from contrad_tpu.utils.run_loading import load_run

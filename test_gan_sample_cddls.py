@@ -47,6 +47,10 @@ def main():
 
     if P.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+
+    from contrad_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # dedup programs across runs
     import jax.numpy as jnp
 
     from contrad_tpu.evaluate import to_uint8

@@ -39,6 +39,10 @@ def main():
     if P.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
 
+    from contrad_tpu.utils import enable_compile_cache
+
+    enable_compile_cache()  # dedup programs across runs
+
     import jax.numpy as jnp
     import optax
 

@@ -50,9 +50,12 @@ def parse_args():
     p.add_argument("--no_gif", action="store_true")
     p.add_argument("--n_eval_avg", default=3, type=int)
     p.add_argument("--fid_embed", default="inception",
-                   choices=["inception", "moments"],
-                   help="FID embedder: inception (needs weights) or the "
-                        "weights-free debug 'moments' embedder")
+                   choices=["inception", "moments", "torch_inception"],
+                   help="FID embedder: inception (flax, runs on the mesh; "
+                        "needs weights), the weights-free debug 'moments' "
+                        "embedder, or torch_inception (the independent "
+                        "second engine, third_party/torch_fid — host-side, "
+                        "single-process runs only)")
     p.add_argument("--print_every", default=50, type=int)
     p.add_argument("--evaluate_every", default=2000, type=int)
     p.add_argument("--save_every", default=100000, type=int)
