@@ -5,8 +5,10 @@
 Energy E(z, z2) = -(D(G(z) + eps*z2) + lbd * classifier_logit_y) +
 0.5*||z2||^2; n_steps Langevin updates on (z, z2) with step eps and noise
 sigma_n*sqrt(eps); z clamped to [-1, 1] (SNDCGAN latent support). The whole
-Langevin chain runs as ONE jitted ``lax.fori_loop`` on device (the reference
-dispatches 1000 separate autograd graphs).
+Langevin chain runs as ONE jitted ``lax.fori_loop`` program, batch-sharded
+over the data mesh — params replicated, each chain independent, so every
+chip integrates batch/n_dev chains with zero collectives (the reference
+dispatches 1000 separate autograd graphs on one GPU).
 
 The classifier head comes from a linear-eval probe (``lin_eval_*.npz`` from
 test_lineval.py).
@@ -17,6 +19,7 @@ from __future__ import annotations
 import argparse
 import math
 import os
+from functools import partial
 
 import numpy as np
 
@@ -54,18 +57,30 @@ def main():
     import jax.numpy as jnp
 
     from contrad_tpu.evaluate import to_uint8
+    from contrad_tpu.parallel import get_mesh
+    from contrad_tpu.parallel.mesh import batch_sharding, replicate
     from contrad_tpu.training.step import make_d_apply, make_g_apply
     from contrad_tpu.utils.run_loading import load_run
 
     _, generator, discriminator, state, _ = load_run(
         P.logdir, P.architecture, ckpt=P.ckpt)
     probe = np.load(P.linear_path)
-    w, b = jnp.asarray(probe["w"]), jnp.asarray(probe["b"])
+
+    mesh = get_mesh()
+    n_dev = int(mesh.devices.size)
+    if P.batch_size % n_dev:
+        P.batch_size += n_dev - P.batch_size % n_dev
+        print(f"batch_size rounded up to {P.batch_size} "
+              f"(device-count {n_dev} multiple)")
+    b_shard = batch_sharding(mesh)
 
     g_apply = make_g_apply(generator)
     d_apply = make_d_apply(discriminator)
-    g_params, g_state = state.g_params, state.g_state
-    d_params, d_state = state.d_params, state.d_state
+    # Params/probe replicated over the mesh; the Langevin chains are
+    # independent per sample, so the whole fori_loop shards along the batch.
+    (g_params, g_state, d_params, d_state, w, b) = replicate(
+        (state.g_params, state.g_state, state.d_params, state.d_state,
+         jnp.asarray(probe["w"]), jnp.asarray(probe["b"])), mesh)
 
     def gen(z, rng):
         out, _ = g_apply(g_params, g_state, z, train=False, update_state=False,
@@ -81,10 +96,9 @@ def main():
                             keepdims=True)
         return jnp.sum(-(d_out + P.lbd * l_out) + reg)
 
-    @jax.jit
-    def sample_class(rng, y):
-        rng, z_rng, z2_rng, noise_rng = jax.random.split(rng, 4)
-        z = generator.sample_latent(z_rng, P.batch_size)
+    @partial(jax.jit, out_shardings=b_shard)
+    def sample_class(z, rng, y):
+        rng, z2_rng, noise_rng = jax.random.split(rng, 3)
         z2 = jax.random.normal(z2_rng, gen(z, noise_rng).shape)
 
         def body(i, carry):
@@ -113,8 +127,10 @@ def main():
         class_dir = os.path.join(subdir, str(y))
         os.makedirs(class_dir, exist_ok=True)
         for i in range(n_batches):
-            rng, sub = jax.random.split(rng)
-            samples = to_uint8(sample_class(sub, y))
+            rng, z_rng, sub = jax.random.split(rng, 3)
+            z = jax.device_put(
+                generator.sample_latent(z_rng, P.batch_size), b_shard)
+            samples = to_uint8(sample_class(z, sub, y))
             offset = y * class_samples + i * P.batch_size
             for j in range(len(samples)):
                 index = offset + j
