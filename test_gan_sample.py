@@ -44,13 +44,27 @@ def main():
     _, generator, _, state, image_size = load_run(P.logdir, P.architecture,
                                                   ckpt=P.ckpt)
     g_apply = make_g_apply(generator)
-    params = state.g_ema_params if P.use_ema else state.g_params
-    g_state = state.g_ema_state if P.use_ema else state.g_state
 
-    @jax.jit
-    def sample(rng):
-        z_rng, noise_rng = jax.random.split(rng)
-        z = generator.sample_latent(z_rng, P.batch_size)
+    # Batch-sharded sampling over the data mesh (params replicated): each
+    # chip generates batch/n_dev samples. The reference samples on one GPU.
+    from functools import partial
+
+    from contrad_tpu.parallel import get_mesh
+    from contrad_tpu.parallel.mesh import batch_sharding, replicate
+
+    mesh = get_mesh()
+    n_dev = int(mesh.devices.size)
+    if P.batch_size % n_dev:
+        P.batch_size += n_dev - P.batch_size % n_dev
+        print(f"batch_size rounded up to {P.batch_size} "
+              f"(device-count {n_dev} multiple)")
+    b_shard = batch_sharding(mesh)
+    params, g_state = replicate(
+        (state.g_ema_params if P.use_ema else state.g_params,
+         state.g_ema_state if P.use_ema else state.g_state), mesh)
+
+    @partial(jax.jit, out_shardings=b_shard)
+    def sample(z, noise_rng):
         out, _ = g_apply(params, g_state, z, train=False, update_state=False,
                          rng=noise_rng)
         return out
@@ -64,8 +78,10 @@ def main():
     n_batches = math.ceil(P.n_samples / P.batch_size)
     index = 0
     for i in range(n_batches):
-        rng, sub = jax.random.split(rng)
-        images = to_uint8(sample(sub))
+        rng, z_rng, noise_rng = jax.random.split(rng, 3)
+        z = jax.device_put(
+            generator.sample_latent(z_rng, P.batch_size), b_shard)
+        images = to_uint8(sample(z, noise_rng))
         for j in range(len(images)):
             if index >= P.n_samples:
                 break

@@ -66,7 +66,22 @@ def main():
 
     train_set, test_set, _ = get_dataset(dataset)
     d_apply = make_d_apply(discriminator)
-    d_params, d_state = state.d_params, state.d_state
+
+    # Mesh-sharded probe training: the frozen backbone forward dominates;
+    # batches shard over the data axis with the backbone/probe replicated
+    # (GSPMD inserts the psum for the probe's batch-mean gradient). The
+    # reference trains the probe on one GPU (test_lineval.py:63-98).
+    from contrad_tpu.parallel import get_mesh
+    from contrad_tpu.parallel.mesh import batch_sharding, replicate
+
+    mesh = get_mesh()
+    n_dev = int(mesh.devices.size)
+    if P.batch_size % n_dev:
+        P.batch_size += n_dev - P.batch_size % n_dev
+        print(f"batch_size rounded up to {P.batch_size} "
+              f"(device-count {n_dev} multiple)")
+    b_shard = batch_sharding(mesh)
+    d_params, d_state = replicate((state.d_params, state.d_state), mesh)
 
     # SupContrast linear-eval augmentation, on device.
     lin_aug = compose(random_resize_crop(scale=(0.2, 1.0)), horizontal_flip())
@@ -91,6 +106,7 @@ def main():
         return lr
 
     tx = optax.inject_hyperparams(optax.sgd)(learning_rate=0.1)
+    probe = replicate(probe, mesh)
     opt_state = tx.init(probe)
 
     @jax.jit
@@ -134,7 +150,9 @@ def main():
             images, labels = next(loader)
             rng, sub = jax.random.split(rng)
             probe, opt_state, loss, logits = train_step(
-                probe, opt_state, jnp.asarray(images), jnp.asarray(labels),
+                probe, opt_state,
+                jax.device_put(np.asarray(images), b_shard),
+                jax.device_put(np.asarray(labels), b_shard),
                 sub, lr)
             (acc1,) = accuracy(np.asarray(logits), labels, topk=(1,))
             tr_loss += float(loss) * len(labels)
@@ -145,8 +163,17 @@ def main():
             (test_set.images[i : i + P.batch_size],
              test_set.labels[i : i + P.batch_size])
             for i in range(0, len(test_set), P.batch_size))
-        out = test_classifier(lambda x: np.asarray(
-            eval_logits(jnp.asarray(x), probe)), test_iter, ["loss", "error@1"])
+
+        def logits_fn(x):
+            # pad ragged tails to a device-count multiple, shard, slice back
+            n = len(x)
+            pad = (-n) % n_dev
+            if pad:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+            placed = jax.device_put(np.asarray(x), b_shard)
+            return np.asarray(eval_logits(placed, probe))[:n]
+
+        out = test_classifier(logits_fn, test_iter, ["loss", "error@1"])
 
         dt = time.time() - t0
         row = (f"{epoch},{dt:.8},{lr:.4},{tr_loss / n_seen:.4},"
