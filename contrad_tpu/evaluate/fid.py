@@ -135,11 +135,13 @@ def moments_embed_fn(images: np.ndarray) -> np.ndarray:
     return np.concatenate([f.reshape(len(x), -1) for f in feats], axis=1)
 
 
-def get_embed_fn(name: str = "inception"):
+def get_embed_fn(name: str = "inception", mesh=None):
+    """``mesh`` (inception only) shards the embedder forward over the data
+    axis — n_dev× offline-scoring throughput; moments/torch are host-side."""
     if name == "inception":
         from contrad_tpu.evaluate.inception import get_inception_embed_fn
 
-        return get_inception_embed_fn()
+        return get_inception_embed_fn(mesh=mesh)
     if name == "torch_inception":
         # Independent second implementation (reference keeps a TF-1.x FID for
         # this role, third_party/tf/fid.py): torch net, torch loader, torch

@@ -232,10 +232,43 @@ def load_inception_variables(path: Optional[str] = None) -> dict:
     return convert_torch_checkpoint(state_dict)
 
 
-def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 50):
+def _host_batched(forward, mesh=None):
+    """Wrap a jitted images->features forward into a host fn that accepts
+    any batch size. With a ``mesh`` the batch shards over the data axis
+    (ragged tails pad to a device-count multiple and slice back); without,
+    it runs on the default device."""
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    if mesh is not None:
+        from contrad_tpu.parallel.mesh import batch_sharding
+
+        b_shard = batch_sharding(mesh)
+
+    def call(images: np.ndarray) -> np.ndarray:
+        x = np.asarray(images)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        n = len(x)
+        pad = (-n) % n_dev
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        placed = (jax.device_put(x, b_shard) if mesh is not None
+                  else jnp.asarray(x))
+        return np.asarray(jax.device_get(forward(placed)))[:n]
+
+    return call
+
+
+def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 50,
+                           mesh=None):
     """Returns embed_fn(images uint8/float NHWC) -> np (n, 2048) pool3
-    features, jitted on the default device."""
+    features. With ``mesh`` the forward shards over the data axis (variables
+    replicated) — n_dev× embedding throughput for offline scoring and stats
+    precompute; default is the single default device."""
     variables = load_inception_variables(path)
+    if mesh is not None:
+        from contrad_tpu.parallel.mesh import replicate
+
+        variables = replicate(variables, mesh)
     model = InceptionV3FID()
 
     @jax.jit
@@ -244,18 +277,18 @@ def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 50):
         pool3, _ = model.apply(variables, x)
         return pool3
 
-    def embed(images: np.ndarray) -> np.ndarray:
-        x = np.asarray(images)
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 255.0
-        return np.asarray(jax.device_get(forward(jnp.asarray(x))))
-
-    return embed
+    return _host_batched(forward, mesh)
 
 
-def get_inception_logits_fn(path: Optional[str] = None):
-    """Returns softmax_fn(images) -> np (n, 1008) class probabilities (for IS)."""
+def get_inception_logits_fn(path: Optional[str] = None, mesh=None):
+    """Returns softmax_fn(images) -> np (n, 1008) class probabilities (for
+    IS); ``mesh`` shards the forward over the data axis like
+    :func:`get_inception_embed_fn`."""
     variables = load_inception_variables(path)
+    if mesh is not None:
+        from contrad_tpu.parallel.mesh import replicate
+
+        variables = replicate(variables, mesh)
     model = InceptionV3FID()
 
     @jax.jit
@@ -264,10 +297,4 @@ def get_inception_logits_fn(path: Optional[str] = None):
         _, logits = model.apply(variables, x)
         return jax.nn.softmax(logits, axis=-1)
 
-    def probs(images: np.ndarray) -> np.ndarray:
-        x = np.asarray(images)
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 255.0
-        return np.asarray(jax.device_get(forward(jnp.asarray(x))))
-
-    return probs
+    return _host_batched(forward, mesh)

@@ -24,12 +24,14 @@ def inception_score_from_probs(probs: np.ndarray,
 
 
 def inception_score(images: np.ndarray, probs_fn: Optional[ProbsFn] = None,
-                    splits: int = 10, batch_size: int = 50) -> Tuple[float, float]:
-    """images: uint8/float NHWC. Returns (mean, std) over splits."""
+                    splits: int = 10, batch_size: int = 50,
+                    mesh=None) -> Tuple[float, float]:
+    """images: uint8/float NHWC. Returns (mean, std) over splits. ``mesh``
+    shards the default inception forward over the data axis."""
     if probs_fn is None:
         from contrad_tpu.evaluate.inception import get_inception_logits_fn
 
-        probs_fn = get_inception_logits_fn()
+        probs_fn = get_inception_logits_fn(mesh=mesh)
     probs = np.concatenate([
         probs_fn(images[i : i + batch_size])
         for i in range(0, len(images), batch_size)

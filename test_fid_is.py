@@ -73,8 +73,12 @@ def main():
         images[i] = np.asarray(Image.open(f).convert("RGB"), dtype=np.uint8)
 
     from contrad_tpu.evaluate.fid import get_embed_fn
+    from contrad_tpu.parallel import get_mesh
 
-    embed_fn = get_embed_fn(P.embed)
+    # inception shards over the data mesh (n_dev x embed throughput);
+    # moments/torch are host-side and ignore the mesh
+    mesh = get_mesh() if P.embed == "inception" else None
+    embed_fn = get_embed_fn(P.embed, mesh=mesh)
 
     if P.stats:
         stats = np.load(P.stats)
@@ -96,7 +100,7 @@ def main():
     is_mean = is_std = float("nan")
     if not P.no_is:
         is_mean, is_std = inception_score(images, splits=P.splits,
-                                          batch_size=P.batch_size)
+                                          batch_size=P.batch_size, mesh=mesh)
         print(f"IS: {is_mean:.4f} +- {is_std:.4f}")
 
     out = P.out or os.path.join(P.sample_dir, "fid_is.csv")

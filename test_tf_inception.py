@@ -82,7 +82,10 @@ def main():
     ref = np.load(P.stats)
     ref_mu, ref_sigma = ref["mu"], ref["sigma"]
 
-    embed_fn = get_embed_fn(P.embed)
+    from contrad_tpu.parallel import get_mesh
+
+    mesh = get_mesh() if P.embed == "inception" else None
+    embed_fn = get_embed_fn(P.embed, mesh=mesh)
     mu, sigma = compute_stats_from_images(images, embed_fn, P.batch_size)
     fid = float(calculate_frechet_distance(mu, sigma, ref_mu, ref_sigma))
     if P.embed == "moments":
@@ -95,7 +98,8 @@ def main():
         is_mean, is_std = inception_score(images, probs_fn=get_probs_fn(),
                                           batch_size=P.batch_size)
     else:
-        is_mean, is_std = inception_score(images, batch_size=P.batch_size)
+        is_mean, is_std = inception_score(images, batch_size=P.batch_size,
+                                          mesh=mesh)
 
     # Reference writes fid.log / inception.log next to the image dir
     # (test_tf_inception.py:31-41,99-115); keep that behavior.

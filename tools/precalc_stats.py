@@ -43,7 +43,10 @@ def main():
         stats_path,
     )
 
-    embed_fn = get_embed_fn(args.embed)
+    from contrad_tpu.parallel import get_mesh
+
+    mesh = get_mesh() if args.embed == "inception" else None
+    embed_fn = get_embed_fn(args.embed, mesh=mesh)
     # Same segregation rule as FIDScore (fid.py:159-161): non-inception
     # embedders cache under <STATS_DIR>/<embed>/ so debug stats can never be
     # mistaken for real inception stats.
