@@ -162,7 +162,8 @@ class FIDScore:
     def __init__(self, dataset: str, size: int = 10000, n_avg: int = 3,
                  embed_fn: Optional[EmbedFn] = None,
                  stats_dir: Optional[str] = None, batch_size: int = 50,
-                 embedder: str = "inception", precompute_ok: bool = True):
+                 embedder: str = "inception", precompute_ok: bool = True,
+                 mesh=None):
         if embedder != "inception" and stats_dir is None:
             # never mix debug-embedder stats with real inception stats
             stats_dir = os.path.join(STATS_DIR, embedder)
@@ -172,6 +173,7 @@ class FIDScore:
         self._embed_fn = embed_fn  # lazy: see the embed_fn property
         self.embedder = embedder
         self.batch_size = batch_size
+        self._mesh = mesh  # shards the inception embedder when resolved
 
         path = stats_path(dataset, stats_dir)
         if not os.path.exists(path):
@@ -198,7 +200,7 @@ class FIDScore:
         cached reference stats the (second) ~100 MB inception load/convert
         this implies never happens."""
         if self._embed_fn is None:
-            self._embed_fn = get_embed_fn(self.embedder)
+            self._embed_fn = get_embed_fn(self.embedder, mesh=self._mesh)
         return self._embed_fn
 
     def update(self, step: int, sampler: Optional[SamplerFn] = None,

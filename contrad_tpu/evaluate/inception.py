@@ -233,29 +233,11 @@ def load_inception_variables(path: Optional[str] = None) -> dict:
 
 
 def _host_batched(forward, mesh=None):
-    """Wrap a jitted images->features forward into a host fn that accepts
-    any batch size. With a ``mesh`` the batch shards over the data axis
-    (ragged tails pad to a device-count multiple and slice back); without,
-    it runs on the default device."""
-    n_dev = int(mesh.devices.size) if mesh is not None else 1
-    if mesh is not None:
-        from contrad_tpu.parallel.mesh import batch_sharding
+    """Alias of :func:`contrad_tpu.parallel.mesh.host_batched` — the one
+    pad/shard/slice wrapper shared by every mesh-batched host consumer."""
+    from contrad_tpu.parallel.mesh import host_batched
 
-        b_shard = batch_sharding(mesh)
-
-    def call(images: np.ndarray) -> np.ndarray:
-        x = np.asarray(images)
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 255.0
-        n = len(x)
-        pad = (-n) % n_dev
-        if pad:
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-        placed = (jax.device_put(x, b_shard) if mesh is not None
-                  else jnp.asarray(x))
-        return np.asarray(jax.device_get(forward(placed)))[:n]
-
-    return call
+    return host_batched(forward, mesh)
 
 
 def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 50,

@@ -65,6 +65,67 @@ def data_shard() -> tuple:
     return jax.process_index(), jax.process_count()
 
 
+def round_up_batch(batch_size: int, mesh: Mesh) -> int:
+    """Smallest device-count multiple >= batch_size (batch-sharded programs
+    need equal per-device rows); prints when it changes."""
+    n_dev = int(mesh.devices.size)
+    rounded = batch_size + (-batch_size) % n_dev
+    if rounded != batch_size:
+        print(f"batch_size rounded up to {rounded} "
+              f"(device-count {n_dev} multiple)")
+    return rounded
+
+
+def world_all(flag: bool) -> bool:
+    """True iff ``flag`` is true on EVERY process. COLLECTIVE — all
+    processes must call it. Use to agree on whether an optional collective
+    program (e.g. in-loop FID) will run: a per-rank decision would leave
+    some ranks dispatching programs others never join, hanging the world."""
+    if jax.process_count() == 1:
+        return bool(flag)
+    from jax.experimental import multihost_utils
+
+    flags = multihost_utils.process_allgather(np.asarray(bool(flag)))
+    return bool(np.all(flags))
+
+
+def broadcast_floats(*vals: float) -> tuple:
+    """Rank 0's values on every process (identity single-process).
+    COLLECTIVE. Use for decisions derived from host-side float math (scipy
+    sqrtm, np.cov) that gate collective dispatches — different BLAS builds
+    can disagree in the last ulps, and a diverged boolean (e.g. FID
+    is_best) desynchronizes the collective best-checkpoint write."""
+    if jax.process_count() == 1:
+        return vals
+    from jax.experimental import multihost_utils
+
+    out = multihost_utils.broadcast_one_to_all(
+        np.asarray(vals, dtype=np.float64))
+    return tuple(float(v) for v in out)
+
+
+def host_batched(forward, mesh: Optional[Mesh] = None):
+    """Wrap a jitted images->features ``forward`` into a host fn accepting
+    any batch size. With a mesh the batch shards over the data axis (ragged
+    tails pad to a device-count multiple and slice back); without, it runs
+    on the default device. uint8 inputs are scaled to [0, 1] floats."""
+    n_dev = int(mesh.devices.size) if mesh is not None else 1
+    b_shard = batch_sharding(mesh) if mesh is not None else None
+
+    def call(images):
+        x = np.asarray(images)
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        n = len(x)
+        pad = (-n) % n_dev
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        placed = jax.device_put(x, b_shard) if b_shard is not None else x
+        return np.asarray(jax.device_get(forward(placed)))[:n]
+
+    return call
+
+
 def init_distributed() -> None:
     """``jax.distributed.initialize`` with explicit env-var overrides.
 

@@ -75,10 +75,13 @@ def main():
     from contrad_tpu.evaluate.fid import get_embed_fn
     from contrad_tpu.parallel import get_mesh
 
-    # inception shards over the data mesh (n_dev x embed throughput);
-    # moments/torch are host-side and ignore the mesh
-    mesh = get_mesh() if P.embed == "inception" else None
-    embed_fn = get_embed_fn(P.embed, mesh=mesh)
+    # The inception networks shard over the data mesh (n_dev x throughput);
+    # moments/torch embedders are host-side and ignore it. IS always uses
+    # the flax inception classifier, so it needs the mesh even when the FID
+    # embedder does not.
+    mesh = get_mesh() if (P.embed == "inception" or not P.no_is) else None
+    embed_fn = get_embed_fn(
+        P.embed, mesh=mesh if P.embed == "inception" else None)
 
     if P.stats:
         stats = np.load(P.stats)

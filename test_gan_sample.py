@@ -50,14 +50,11 @@ def main():
     from functools import partial
 
     from contrad_tpu.parallel import get_mesh
-    from contrad_tpu.parallel.mesh import batch_sharding, replicate
+    from contrad_tpu.parallel.mesh import (batch_sharding, replicate,
+                                        round_up_batch)
 
     mesh = get_mesh()
-    n_dev = int(mesh.devices.size)
-    if P.batch_size % n_dev:
-        P.batch_size += n_dev - P.batch_size % n_dev
-        print(f"batch_size rounded up to {P.batch_size} "
-              f"(device-count {n_dev} multiple)")
+    P.batch_size = round_up_batch(P.batch_size, mesh)
     b_shard = batch_sharding(mesh)
     params, g_state = replicate(
         (state.g_ema_params if P.use_ema else state.g_params,

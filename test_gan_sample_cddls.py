@@ -58,7 +58,8 @@ def main():
 
     from contrad_tpu.evaluate import to_uint8
     from contrad_tpu.parallel import get_mesh
-    from contrad_tpu.parallel.mesh import batch_sharding, replicate
+    from contrad_tpu.parallel.mesh import (batch_sharding, replicate,
+                                        round_up_batch)
     from contrad_tpu.training.step import make_d_apply, make_g_apply
     from contrad_tpu.utils.run_loading import load_run
 
@@ -67,11 +68,7 @@ def main():
     probe = np.load(P.linear_path)
 
     mesh = get_mesh()
-    n_dev = int(mesh.devices.size)
-    if P.batch_size % n_dev:
-        P.batch_size += n_dev - P.batch_size % n_dev
-        print(f"batch_size rounded up to {P.batch_size} "
-              f"(device-count {n_dev} multiple)")
+    P.batch_size = round_up_batch(P.batch_size, mesh)
     b_shard = batch_sharding(mesh)
 
     g_apply = make_g_apply(generator)

@@ -72,14 +72,11 @@ def main():
     # (GSPMD inserts the psum for the probe's batch-mean gradient). The
     # reference trains the probe on one GPU (test_lineval.py:63-98).
     from contrad_tpu.parallel import get_mesh
-    from contrad_tpu.parallel.mesh import batch_sharding, replicate
+    from contrad_tpu.parallel.mesh import (batch_sharding, host_batched,
+                                           replicate, round_up_batch)
 
     mesh = get_mesh()
-    n_dev = int(mesh.devices.size)
-    if P.batch_size % n_dev:
-        P.batch_size += n_dev - P.batch_size % n_dev
-        print(f"batch_size rounded up to {P.batch_size} "
-              f"(device-count {n_dev} multiple)")
+    P.batch_size = round_up_batch(P.batch_size, mesh)
     b_shard = batch_sharding(mesh)
     d_params, d_state = replicate((state.d_params, state.d_state), mesh)
 
@@ -128,9 +125,9 @@ def main():
         return probe, opt_state, loss, logits
 
     @jax.jit
-    def eval_logits(images, probe):
-        # probe passed explicitly: a closure would be baked at first trace
-        x = images.astype(jnp.float32) / 255.0
+    def eval_logits(x, probe):
+        # probe passed explicitly: a closure would be baked at first trace;
+        # x arrives as [0,1] floats (host_batched scales uint8 inputs)
         return features(x) @ probe["w"] + probe["b"]
 
     seed_tag = int(np.random.randint(10000))
@@ -164,15 +161,8 @@ def main():
              test_set.labels[i : i + P.batch_size])
             for i in range(0, len(test_set), P.batch_size))
 
-        def logits_fn(x):
-            # pad ragged tails to a device-count multiple, shard, slice back
-            n = len(x)
-            pad = (-n) % n_dev
-            if pad:
-                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-            placed = jax.device_put(np.asarray(x), b_shard)
-            return np.asarray(eval_logits(placed, probe))[:n]
-
+        # one shared pad/shard/slice wrapper (ragged test-set tails)
+        logits_fn = host_batched(lambda x: eval_logits(x, probe), mesh)
         out = test_classifier(logits_fn, test_iter, ["loss", "error@1"])
 
         dt = time.time() - t0

@@ -241,7 +241,7 @@ def main():
 
             fid = FIDScore(opt.dataset, opt.fid_size, n_avg=P.n_eval_avg,
                            embedder=P.fid_embed,
-                           precompute_ok=(world == 1))
+                           precompute_ok=(world == 1), mesh=mesh)
         except Exception as e:  # missing inception weights / stats
             fid = None  # a half-built tracker must not reach the eval loop
             if rank == 0:
@@ -274,6 +274,18 @@ def main():
                 # the fused sampler a multihost run cannot eval in-loop.
                 fid = None
                 logger.log(f"FID disabled (multihost, no fused sampler: {e})")
+
+    if world > 1:
+        # COLLECTIVE agreement: a rank-local failure (stats file present on
+        # one host only, embedder OOM on one rank) must disable FID on EVERY
+        # rank — otherwise some ranks dispatch the collective eval/best-save
+        # programs that others never join, hanging the world.
+        from contrad_tpu.parallel.mesh import world_all
+
+        if not world_all(fid is not None and fid_feature_fn is not None):
+            if fid is not None:
+                logger.log("FID disabled: not available on every process")
+            fid = fid_feature_fn = None
 
     if P.resume:
         # Restore eval-side state (FID best/history, GIF latents+frames,
@@ -363,6 +375,16 @@ def main():
                     fid_avg = fid.update(step, sampler=lambda n, r: np.asarray(
                         jax.device_get(trainer.sample_fn(
                             state, n, False, False, jnp.asarray(r)))))
+                if world > 1:
+                    # Rank-0-authoritative score: host-side sqrtm/np.cov can
+                    # differ in the last ulps across BLAS builds, and a
+                    # diverged is_best desynchronizes the collective 'best'
+                    # checkpoint write below.
+                    from contrad_tpu.parallel.mesh import broadcast_floats
+
+                    fid_avg, best, isb = broadcast_floats(
+                        fid_avg, fid.best, float(fid.is_best))
+                    fid.best, fid.is_best = best, bool(isb)
                 if rank == 0:
                     fid.save(os.path.join(logger.logdir,
                                           f"results_fid_{eval_seed}.csv"))
