@@ -330,3 +330,55 @@ def test_conditional_training_step(mode, devices):
     y1 = y_embed(jax.device_get(new_state.d_params))
     assert any(not np.allclose(y0[k], y1[k]) for k in y0), \
         "y-embedding must receive gradients"
+
+
+def test_multi_step_block_conditional_matches_sequential(devices):
+    """The conditional scan-block path (labels_block threaded through the
+    lax.scan xs alongside the index vectors) must match K sequential
+    conditional train_step_indexed calls — the multi-step dispatch fast path
+    for --conditional runs."""
+    from contrad_tpu.data.core import ArrayDataset, DeviceBatchIterator
+
+    def make():
+        g = GSndcgan(image_size=IMG, ngf=8, nz=16)
+        d = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True, d_hidden=32,
+                     n_classes=10)
+        g_opt = make_optimizer(2e-4, (0.5, 0.999))
+        d_opt = make_optimizer(2e-4, (0.5, 0.999))
+        trainer = GANTrainer(
+            generator=g, discriminator=d, mode="contrad",
+            augment_fn=get_augment("hflip"), g_optimizer=g_opt,
+            d_optimizer=d_opt, loss_type="nonsat", mesh=get_mesh(devices))
+        state = trainer.place_state(create_train_state(
+            jax.random.PRNGKey(0), g, d, IMG, g_opt, d_opt))
+        return trainer, state
+
+    n, k = 64, 3
+    rng = np.random.default_rng(11)
+    ds = ArrayDataset(rng.integers(0, 256, size=(n,) + IMG, dtype=np.uint8),
+                      rng.integers(0, 10, size=n))
+    it = DeviceBatchIterator(ds, batch_size=BATCH, mesh=get_mesh(devices),
+                             seed=3)
+    pairs = [it.next_indices() for _ in range(k)]
+    idx_block = np.stack([p[0] for p in pairs])
+    labels_block = np.stack([np.asarray(p[1]) for p in pairs])
+
+    tr_a, st_a = make()
+    for i in range(k):
+        st_a, m_a = tr_a.train_step_indexed(
+            st_a, it.images, idx_block[i], local=it.local_indexing,
+            labels=tr_a.place_batch(labels_block[i]))
+
+    tr_b, st_b = make()
+    st_b, m_b = tr_b.train_steps_indexed(
+        st_b, it.images, idx_block, local=it.local_indexing,
+        labels_block=labels_block)
+
+    assert int(st_b.step) == k
+    for key in m_a:
+        np.testing.assert_allclose(float(m_a[key]), float(m_b[key]),
+                                   rtol=1e-5, atol=1e-6, err_msg=key)
+    for la, lb in zip(jax.tree.leaves(st_a.d_params),
+                      jax.tree.leaves(st_b.d_params)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=1e-5, atol=1e-6)
