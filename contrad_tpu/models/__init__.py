@@ -5,6 +5,7 @@
   * ``snresnet18``   — G_SNDCGAN + D_SNResNet18(mlp_linear, d_hidden=1024)
   * ``stylegan2``    — small32 StyleGAN2 G + ResidualDiscriminatorP(d_hidden=512)
   * ``stylegan2_512``— full StyleGAN2 G/D with channel_multiplier=1.0
+  * ``stylegan2_tiny``— CI/smoke width (0.25x channels, n_mlp=2)
 """
 
 from __future__ import annotations
@@ -52,6 +53,20 @@ def get_architecture(
         discriminator = DStylegan2(
             size=resolution, small32=True, mlp_linear=True, d_hidden=512,
             dtype=dtype, n_classes=n_classes
+        )
+    elif architecture == "stylegan2_tiny":
+        from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2
+
+        # CI/smoke variant: the full StyleGAN2 code paths (modulated conv,
+        # noise, style mixing, ToRGB skips, ResidualDiscriminatorP, lazy R1,
+        # EMA) at throwaway width — drives the train_stylegan2* CLIs as
+        # subprocesses on the virtual CPU mesh (tests/test_cli.py).
+        resolution = image_size[0]
+        generator = GStylegan2(size=resolution, n_mlp=2,
+                               channel_multiplier=0.25, dtype=dtype)
+        discriminator = DStylegan2(
+            size=resolution, channel_multiplier=0.25, mlp_linear=True,
+            d_hidden=32, dtype=dtype, n_classes=n_classes
         )
     elif architecture == "stylegan2_512":
         from contrad_tpu.models.stylegan2 import GStylegan2, DStylegan2

@@ -62,7 +62,13 @@ class GSndcgan(nn.Module):
         x = nn.Conv(nc, (3, 3), padding="SAME", kernel_init=dcgan_init,
                     dtype=self.dtype, name="to_rgb")(x)
         x = jnp.tanh(x.astype(jnp.float32))
-        return 0.5 * x + 0.5
+        x = 0.5 * x + 0.5
+        # Training emits the compute dtype: an f32 image here would promote
+        # the whole downstream augment chain (concat([real, real, fake]) in
+        # modes.py follows numpy promotion) back to f32, doubling the
+        # image-path HBM bytes of a bf16 model. Eval stays f32 for metric
+        # fidelity (FID stats, PNG/GIF writers).
+        return x.astype(self.dtype) if train else x
 
     def sample_latent(self, rng: jax.Array, n: int) -> jax.Array:
         return jax.random.uniform(rng, (n, self.nz), minval=-1.0, maxval=1.0)

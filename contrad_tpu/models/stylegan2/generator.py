@@ -381,7 +381,12 @@ class GStylegan2(nn.Module):
 
         if self._packed_top:
             skip = depth_to_space(skip, 2)
-        image = 0.5 * skip.astype(jnp.float32) + 0.5
+        # Training emits the compute dtype: an f32 image here would promote
+        # the whole downstream augment chain (and, via the [real, real, fake]
+        # concat in modes.py, the REAL images too) back to f32 — measured
+        # 2x image-path bytes on the 512^2 bf16 step (round-4 trace). Eval
+        # stays f32 for metric fidelity (FID stats, PNG/GIF writers).
+        image = 0.5 * skip.astype(self.dtype if train else jnp.float32) + 0.5
         if not train:
             image = jnp.clip(image, 0.0, 1.0)
         if return_latents:

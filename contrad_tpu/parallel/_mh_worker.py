@@ -1,12 +1,28 @@
 """Multi-host training worker for process-level SPMD certification.
 
-Runs a few real ContraD train steps as ONE process of an N-process
+Runs a few real train steps as ONE process of an N-process
 ``jax.distributed`` world (CPU Gloo collectives, 8 global virtual devices),
 through the exact multihost production path: ``init_distributed`` rendezvous,
 ``make_train_loader(shard=(rank, world))`` per-process feeding,
 ``place_global_batch`` global-array assembly, and a COLLECTIVE orbax
 checkpoint save. The reference's counterpart is a spawned NCCL DDP worker
 (``/root/reference/train_gan.py:230-251,328-332``).
+
+Three trainer recipes, selected by flags:
+
+* default            — unconditional SNDCGAN ``GANTrainer`` (contrad mode)
+* ``--conditional``  — SNDCGAN with the projection y-head; real labels from
+                       the sharded loader, fake labels sampled in-step
+                       (reference ``base.py:107-130`` semantics)
+* ``--trainer sg2``  — tiny ``StyleGAN2Trainer``: EMA accumulate with
+                       pre-update params gated on an ema-start step, G before
+                       D, lazy R1 every ``--d_reg_every`` steps with the
+                       ``(0.5*lbd_r1)*r1*d_reg_every`` scaling (reference
+                       ``train_stylegan2.py:147-279``) — the grad-of-grad +
+                       EMA path under real multi-process data parallelism.
+
+``--n_critic`` > 1 exercises the in-step ``lax.scan`` critic loop across
+processes (reference ``train_gan.py:152-167``).
 
 Invoked as a subprocess by ``tests/test_multihost_spawn.py`` and by
 ``__graft_entry__.dryrun_multihost``:
@@ -25,8 +41,59 @@ from __future__ import annotations
 
 import argparse
 import json
+import math
 import os
 import sys
+
+
+def _build_trainer(args, mesh, image_size):
+    """(trainer, state-template kwargs) for the selected recipe."""
+    import jax
+
+    from contrad_tpu.augment import get_augment
+    from contrad_tpu.training import create_train_state, make_optimizer
+
+    g_opt = make_optimizer(2e-4, (0.5, 0.999))
+    d_opt = make_optimizer(2e-4, (0.5, 0.999))
+
+    if args.trainer == "sg2":
+        from contrad_tpu.models.stylegan2 import DStylegan2, GStylegan2
+        from contrad_tpu.training.step import StyleGAN2Trainer
+
+        size = image_size[0]
+        generator = GStylegan2(size=size, n_mlp=2, small32=False,
+                               channel_multiplier=0.25)
+        discriminator = DStylegan2(size=size, small32=False,
+                                   channel_multiplier=0.25,
+                                   mlp_linear=True, d_hidden=32)
+        trainer = StyleGAN2Trainer(
+            generator, discriminator, mode="contrad",
+            augment_fn=get_augment(args.aug),
+            g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+            temp=0.1, lbd_a=1.0, n_critic=args.n_critic,
+            lbd_r1=0.1, d_reg_every=args.d_reg_every, style_mix=0.9,
+            ema=True, mesh=mesh)
+        ema = True
+    else:
+        from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
+        from contrad_tpu.training import GANTrainer
+
+        n_classes = 10 if args.conditional else 1
+        generator = GSndcgan(image_size=image_size, ngf=8, nz=16)
+        discriminator = DSndcgan(image_size=image_size, ndf=8,
+                                 mlp_linear=True, d_hidden=32,
+                                 n_classes=n_classes)
+        trainer = GANTrainer(
+            generator, discriminator, mode="contrad",
+            augment_fn=get_augment(args.aug),
+            g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
+            temp=0.1, lbd_a=1.0, n_critic=args.n_critic, mesh=mesh)
+        ema = False
+
+    state = create_train_state(
+        jax.random.PRNGKey(0), generator, discriminator, image_size,
+        g_opt, d_opt, ema=ema)
+    return trainer, state
 
 
 def main(argv=None):
@@ -37,6 +104,16 @@ def main(argv=None):
                    help="coordinator port (required when world > 1)")
     p.add_argument("--devices_per_proc", type=int, default=4)
     p.add_argument("--steps", type=int, default=4)
+    p.add_argument("--trainer", choices=["gan", "sg2"], default="gan")
+    p.add_argument("--conditional", action="store_true",
+                   help="class-conditional SNDCGAN D (y-head); gan trainer only")
+    p.add_argument("--n_critic", type=int, default=1)
+    p.add_argument("--d_reg_every", type=int, default=2,
+                   help="sg2 lazy-R1 cadence (R1 fires when step %% this == 0)")
+    p.add_argument("--ema_start_step", type=int, default=2,
+                   help="sg2: EMA decay becomes 0.99 for steps AFTER this "
+                        "(the ema_start_k gate, reference "
+                        "train_stylegan2.py:174-176)")
     p.add_argument("--logdir", type=str, default=None,
                    help="save a collective orbax checkpoint here")
     p.add_argument("--resume", action="store_true",
@@ -59,6 +136,16 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    # Persistent compile cache (same as tests/conftest.py): the sg2 R1
+    # grad-of-grad program costs minutes to compile on the CPU backend;
+    # the cache dedups it across ranks' identical programs and across runs.
+    repo = os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     os.path.join(repo, ".jax_cache")))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     if args.world > 1:
         os.environ["CONTRAD_COORDINATOR"] = f"127.0.0.1:{args.port}"
@@ -72,34 +159,20 @@ def main(argv=None):
 
     import numpy as np
 
-    from contrad_tpu.augment import get_augment
     from contrad_tpu.data.core import (
         BatchIterator, PrefetchIterator, make_train_loader)
     from contrad_tpu.data.synthetic import synthetic_dataset
-    from contrad_tpu.models.sndcgan import DSndcgan, GSndcgan
     from contrad_tpu.parallel.mesh import data_shard, get_mesh
-    from contrad_tpu.training import (
-        GANTrainer, create_train_state, make_optimizer)
 
     rank, world = data_shard()
     assert (rank, world) == (args.rank, args.world)
 
     IMG = (16, 16, 3)
-    generator = GSndcgan(image_size=IMG, ngf=8, nz=16)
-    discriminator = DSndcgan(image_size=IMG, ndf=8, mlp_linear=True,
-                             d_hidden=32)
-    g_opt = make_optimizer(2e-4, (0.5, 0.999))
-    d_opt = make_optimizer(2e-4, (0.5, 0.999))
     mesh = get_mesh()
     n_global = int(mesh.devices.size)
     assert n_global == args.devices_per_proc * args.world
 
-    trainer = GANTrainer(
-        generator, discriminator, mode="contrad", augment_fn=get_augment(args.aug),
-        g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
-        temp=0.1, lbd_a=1.0, mesh=mesh)
-    state = create_train_state(
-        jax.random.PRNGKey(0), generator, discriminator, IMG, g_opt, d_opt)
+    trainer, state = _build_trainer(args, mesh, IMG)
     if args.resume:
         from contrad_tpu.utils import has_checkpoint, restore_checkpoint
 
@@ -109,7 +182,7 @@ def main(argv=None):
     starting_step = int(state.step) + 1
 
     dataset = synthetic_dataset(IMG, n=64, seed=0)
-    batch_size = 16
+    batch_size = 16 * args.n_critic   # trainer consumes n_critic sub-batches
     steps_per_epoch = len(dataset) // batch_size
     if world > 1:
         loader = make_train_loader(dataset, batch_size, mesh,
@@ -126,12 +199,40 @@ def main(argv=None):
             place_fn=trainer.place_batch)
 
     history = []
-    for _ in range(args.steps):
-        batch, _labels = next(loader)
-        state, metrics = trainer.train_step(state, batch)
+    for step in range(starting_step, starting_step + args.steps):
+        batch, labels = next(loader)
+        if args.trainer == "sg2":
+            # Host-side cadence decisions, deterministic in the step index so
+            # every process (and the 1-process oracle) agrees
+            # (reference train_stylegan2.py:163-176,199-208).
+            do_r1 = (step % args.d_reg_every == 0)
+            ema_decay = 0.99 if step > args.ema_start_step else 0.0
+            state, metrics = trainer.train_step(state, batch,
+                                                ema_decay=ema_decay,
+                                                do_r1=do_r1)
+        elif args.conditional:
+            y = trainer.place_batch(np.asarray(labels))
+            state, metrics = trainer.train_step(state, batch, labels=y)
+        else:
+            state, metrics = trainer.train_step(state, batch)
         history.append({k: float(v) for k, v in metrics.items()})
     jax.block_until_ready(state.g_params)
     assert int(state.step) == starting_step - 1 + args.steps
+
+    # Parameter checksums strengthen the parity oracle beyond per-step losses
+    # (they certify the full weight trajectory — incl. the EMA params the
+    # metrics never see).
+    def _l2(tree):
+        if tree is None:
+            return float("nan")
+        return float(math.sqrt(sum(
+            float(jax.numpy.sum(leaf.astype(jax.numpy.float32) ** 2))
+            for leaf in jax.tree.leaves(tree))))
+
+    history.append({"g_norm": _l2(state.g_params),
+                    "d_norm": _l2(state.d_params),
+                    **({"ema_norm": _l2(state.g_ema_params)}
+                       if state.g_ema_params is not None else {})})
 
     if args.fid_stats_dir:
         # In-loop FID exactly as the CLIs run it multihost: the fused
@@ -160,8 +261,11 @@ def main(argv=None):
         with open(args.metrics_out, "w") as f:
             json.dump(history, f)
 
-    print(f"mh_worker rank {rank}/{world}: ok, {args.steps} steps, "
-          f"final D_loss={history[args.steps - 1]['D_loss']:.5f}",
+    print(f"mh_worker rank {rank}/{world} [{args.trainer}"
+          f"{'+cond' if args.conditional else ''}"
+          f"{f'+nc{args.n_critic}' if args.n_critic > 1 else ''}]: ok, "
+          f"{args.steps} steps, final D_loss="
+          f"{history[args.steps - 1]['D_loss']:.5f}",
           flush=True)
     if world > 1:
         jax.distributed.shutdown()

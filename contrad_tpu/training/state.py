@@ -38,6 +38,7 @@ def make_optimizer(
     use_warmup: bool = False,
     lr_decay_fn=None,
     flat: bool = False,
+    mu_dtype=None,
 ) -> optax.GradientTransformation:
     """Adam with the reference's linear LR warmup
     (``train_gan.py:88-93``: lr * min(1, (step+1)/warmup)) and an optional
@@ -49,7 +50,13 @@ def make_optimizer(
     leaves of a big model — the update is a handful of full-bandwidth
     elementwise ops over a single contiguous buffer. Numerics are identical
     (Adam is elementwise); only the opt-state layout changes, so flip it per
-    run, not mid-run (checkpointed opt states are layout-specific)."""
+    run, not mid-run (checkpointed opt states are layout-specific).
+
+    ``mu_dtype`` stores Adam's first moment in that dtype (optax upcasts it
+    for the update math, params stay f32 masters): ``jnp.bfloat16`` halves
+    the mu read+write traffic — a byte-cut lever for the HBM-bound 32^2
+    flagship step (BASELINE.md round-3 roofline: 82% of the bytes floor,
+    with params/optimizer/dW reductions the residual f32 bytes)."""
 
     def schedule(count):
         lr_t = jnp.asarray(lr, dtype=jnp.float32)
@@ -59,7 +66,7 @@ def make_optimizer(
             lr_t = lr_t * lr_decay_fn(count)
         return lr_t
 
-    tx = optax.adam(schedule, b1=beta[0], b2=beta[1])
+    tx = optax.adam(schedule, b1=beta[0], b2=beta[1], mu_dtype=mu_dtype)
     return optax.flatten(tx) if flat else tx
 
 

@@ -4,6 +4,7 @@ import os
 
 from contrad_tpu.utils.logger import Logger, append_csv
 from contrad_tpu.utils.checkpoint import (
+    find_restorable,
     has_checkpoint,
     restore_checkpoint,
     save_checkpoint,
@@ -17,6 +18,7 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "has_checkpoint",
+    "find_restorable",
     "wait_for_checkpoints",
 ]
 

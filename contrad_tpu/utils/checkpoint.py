@@ -71,6 +71,31 @@ def has_checkpoint(logdir: str, name: str = "latest") -> bool:
     return os.path.isdir(os.path.join(_ckpt_dir(logdir), name))
 
 
+def find_restorable(logdir: str) -> Optional[str]:
+    """Name of the newest COMPLETED checkpoint under ``logdir`` to resume
+    from, or None if there is none.
+
+    A hard kill can land mid-write, leaving ``latest`` as a dangling
+    ``*.orbax-checkpoint-tmp`` dir (orbax finalizes by renaming); resuming
+    must then fall back to the newest completed artifact (``step_N`` /
+    ``best``) instead of silently restarting from scratch. ``latest`` wins
+    mtime ties. (The reference has no such fallback — a crash during its
+    torch.save leaves a truncated gen.pt that fails to load,
+    ``/root/reference/train_gan.py:211-225,255-260``.)"""
+    d = _ckpt_dir(logdir)
+    if not os.path.isdir(d):
+        return None
+    wait_for_checkpoints()
+    cands = []
+    for n in os.listdir(d):
+        if n.endswith(".orbax-checkpoint-tmp"):
+            continue  # crash mid-write: incomplete, not loadable
+        if os.path.isdir(os.path.join(d, n)):
+            cands.append((os.path.getmtime(os.path.join(d, n)),
+                          n == "latest", n))
+    return max(cands)[2] if cands else None
+
+
 def latest_step(logdir: str, template: GANTrainState) -> Optional[int]:
     if not has_checkpoint(logdir):
         return None

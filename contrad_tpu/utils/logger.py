@@ -53,8 +53,17 @@ class Logger:
                 from tensorboardX import SummaryWriter
 
                 self._writer = SummaryWriter(self.logdir)
-            except Exception:  # tensorboard optional; scalars also go to JSONL
+            except Exception as e:  # tensorboard optional; scalars go to JSONL
+                # Surface the degradation ONCE per run — a misconfigured TB
+                # should be visible, not silent (scalars still land in
+                # scalars.jsonl either way).
                 self._writer = False
+                msg = (f"tensorboardX unavailable ({type(e).__name__}: {e}); "
+                       f"scalars will be written to scalars.jsonl only")
+                print(f"[logger] {msg}", file=sys.stderr)
+                if self.log_file is not None:
+                    self.log_file.write(f"[logger] {msg}\n")
+                    self.log_file.flush()
         return self._writer
 
     def log(self, string):

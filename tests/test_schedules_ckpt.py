@@ -74,6 +74,33 @@ def test_flat_optimizer_matches_tree():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
+def test_mu_dtype_optimizer_close_to_f32():
+    """make_optimizer(mu_dtype=bf16) stores Adam's first moment bf16 (the
+    32^2 byte-cut lever); params stay f32 masters and the update math is
+    upcast, so trajectories must track the f32 optimizer to bf16 rounding."""
+    import optax
+
+    params = {"a": jnp.asarray([[1.0, -2.0], [0.5, 3.0]]),
+              "b": {"w": jnp.arange(5.0), "bias": jnp.asarray([0.1])}}
+    grads = jax.tree.map(lambda x: jnp.cos(x) + 0.3, params)
+
+    tx_f32 = make_optimizer(1e-2, (0.5, 0.999))
+    tx_bf16 = make_optimizer(1e-2, (0.5, 0.999), mu_dtype=jnp.bfloat16)
+    p_a, p_b = params, params
+    s_a, s_b = tx_f32.init(p_a), tx_bf16.init(p_b)
+    mu_leaves = jax.tree.leaves(s_b[0].mu)
+    assert all(l.dtype == jnp.bfloat16 for l in mu_leaves)
+    for _ in range(5):
+        u_a, s_a = tx_f32.update(grads, s_a, p_a)
+        u_b, s_b = tx_bf16.update(grads, s_b, p_b)
+        p_a = optax.apply_updates(p_a, u_a)
+        p_b = optax.apply_updates(p_b, u_b)
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        assert b.dtype == jnp.float32  # params stay f32 masters
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-3)
+
+
 def test_halflife_decay_fn():
     batch = 64
     halflife_lr = 64000  # images
@@ -251,3 +278,38 @@ def test_eval_state_provenance_and_frame_files(tmp_path):
     restore_eval_state(logdir, fixed_gen=fixed3)
     assert len(fixed3.frames) == 1
     assert not os.path.exists(_frame_path(logdir, 1))
+
+
+def test_find_restorable_crash_fallback(tmp_path):
+    """A hard kill mid-orbax-write leaves ``latest`` as a dangling
+    ``*.orbax-checkpoint-tmp``; resume must fall back to the newest COMPLETED
+    checkpoint (step_N/best) instead of silently restarting (observed in the
+    round-4 schedule-scale kill test: SIGKILL landed during the step-60000
+    save)."""
+    import time
+
+    from contrad_tpu.utils import find_restorable
+
+    logdir = str(tmp_path / "run")
+    ckpt = os.path.join(logdir, "ckpt")
+
+    # nothing there yet
+    assert find_restorable(logdir) is None
+    os.makedirs(ckpt)
+    assert find_restorable(logdir) is None
+
+    # only a dangling tmp (crash during the very first save)
+    os.makedirs(os.path.join(ckpt, "latest.orbax-checkpoint-tmp"))
+    assert find_restorable(logdir) is None
+
+    # completed older artifacts appear -> newest-by-mtime wins
+    os.makedirs(os.path.join(ckpt, "step_20000"))
+    time.sleep(0.01)
+    os.makedirs(os.path.join(ckpt, "best"))
+    time.sleep(0.01)
+    os.makedirs(os.path.join(ckpt, "step_40000"))
+    assert find_restorable(logdir) == "step_40000"
+
+    # a completed latest beats everything (incl. mtime ties)
+    os.makedirs(os.path.join(ckpt, "latest"))
+    assert find_restorable(logdir) == "latest"

@@ -76,6 +76,10 @@ def parse_args():
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
                    help="model compute dtype (params stay f32; bf16 is the "
                         "TPU mixed-precision path)")
+    p.add_argument("--opt_moments", default="f32", choices=["f32", "bf16"],
+                   help="Adam first-moment storage dtype; bf16 halves the mu "
+                        "read+write HBM traffic (params stay f32 masters — "
+                        "the 32^2 byte-cut lever, BASELINE.md round-3)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                    help="cpu forces the host platform (debug/smoke)")
     p.add_argument("--override", nargs="*", default=[],
@@ -124,7 +128,8 @@ def main():
         GANTrainer, count_parameters, create_train_state, make_optimizer,
         run_filename)
     from contrad_tpu.utils import (
-        Logger, append_csv, has_checkpoint, restore_checkpoint, save_checkpoint)
+        Logger, append_csv, find_restorable, has_checkpoint,
+        restore_checkpoint, save_checkpoint)
 
     cfg = load_config(default_config_files(P.config), P.override)
     finalize_options(cfg)
@@ -160,10 +165,11 @@ def main():
     generator, discriminator = get_architecture(P.architecture, image_size,
                                                 n_classes=n_classes,
                                                 dtype=dtype)
+    mu_dtype = jnp.bfloat16 if P.opt_moments == "bf16" else None
     g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
-                                 use_warmup=P.use_warmup)
+                                 use_warmup=P.use_warmup, mu_dtype=mu_dtype)
     d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,
-                                 use_warmup=P.use_warmup)
+                                 use_warmup=P.use_warmup, mu_dtype=mu_dtype)
 
     augment_fn = get_augment(P.aug, cfg.get("augment"))
     # Dataset-baked flip (reference datasets.py:49-69,83-126 bakes
@@ -199,9 +205,15 @@ def main():
         if rank == 0:
             shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
 
-    if P.resume and has_checkpoint(P.resume):
-        state = restore_checkpoint(P.resume, state)
-        logger.log(f"Checkpoint loaded from '{P.resume}' (step {int(state.step)})")
+    if P.resume:
+        ckpt_name = find_restorable(P.resume)
+        if ckpt_name is None:
+            logger.log(f"WARNING: --resume '{P.resume}' has no completed "
+                       f"checkpoint; starting fresh in the same logdir")
+        else:
+            state = restore_checkpoint(P.resume, state, ckpt_name)
+            logger.log(f"Checkpoint loaded from "
+                       f"'{P.resume}/ckpt/{ckpt_name}' (step {int(state.step)})")
     if P.finetune and has_checkpoint(P.finetune):
         # Load D (and G) then re-init the GAN head (reference train_gan.py:261-266,
         # base.py:152-164 resets only discriminator.linear).

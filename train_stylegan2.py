@@ -32,7 +32,7 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser(description="TPU-native StyleGAN2 training")
     p.add_argument("config", type=str)
-    p.add_argument("architecture", type=str, help="stylegan2 | stylegan2_512")
+    p.add_argument("architecture", type=str, help="stylegan2 | stylegan2_512 | stylegan2_tiny")
 
     p.add_argument("--mode", default="std", type=str)
     p.add_argument("--penalty", default="none", type=str)
@@ -127,7 +127,8 @@ def main():
         count_parameters, create_train_state, make_optimizer, run_filename)
     from contrad_tpu.training.step import StyleGAN2Trainer
     from contrad_tpu.utils import (
-        Logger, has_checkpoint, restore_checkpoint, save_checkpoint)
+        Logger, find_restorable, has_checkpoint, restore_checkpoint,
+        save_checkpoint)
 
     cfg = load_config(default_config_files(P.config), P.override)
     finalize_options(cfg)
@@ -213,9 +214,15 @@ def main():
         if rank == 0:
             shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
 
-    if P.resume and has_checkpoint(P.resume):
-        state = restore_checkpoint(P.resume, state)
-        logger.log(f"Checkpoint loaded from '{P.resume}' (step {int(state.step)})")
+    if P.resume:
+        ckpt_name = find_restorable(P.resume)
+        if ckpt_name is None:
+            logger.log(f"WARNING: --resume '{P.resume}' has no completed "
+                       f"checkpoint; starting fresh in the same logdir")
+        else:
+            state = restore_checkpoint(P.resume, state, ckpt_name)
+            logger.log(f"Checkpoint loaded from "
+                       f"'{P.resume}/ckpt/{ckpt_name}' (step {int(state.step)})")
     if P.finetune and has_checkpoint(P.finetune):
         loaded = restore_checkpoint(P.finetune, state)
         d_params = dict(loaded.d_params)
