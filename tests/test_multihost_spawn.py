@@ -129,18 +129,20 @@ def test_two_process_stylegan2_parity(tmp_path):
     # 2 devices/proc (4 global): the heavier sg2 programs starve XLA's
     # in-process CPU collectives at 8 device threads on a low-core CI host
     # (stuck-abort); the multi-PROCESS path under certification is identical.
+    # generous timeout: the R1 grad-of-grad program costs minutes to compile
+    # cold on a low-core host, and both ranks compile it concurrently
     _spawn_world([
         (worker + ["--rank", str(r), "--world", "2", "--port", str(port),
                    "--devices_per_proc", "2"] + recipe
          + (["--metrics_out", m2] if r == 0 else []),
          _clean_env(2))
         for r in range(2)
-    ])
+    ], timeout=2400)
     _spawn_world([
         (worker + ["--rank", "0", "--world", "1", "--devices_per_proc", "4",
                    "--metrics_out", m1] + recipe,
          _clean_env(4)),
-    ])
+    ], timeout=2400)
 
     hist1, hist2 = json.load(open(m1)), json.load(open(m2))
     assert "ema_norm" in hist1[-1], "EMA checksum missing from the record"
