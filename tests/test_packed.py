@@ -174,6 +174,46 @@ def test_packed_lhs_dilated_parity(np_rng, k, pad, l, f_out, ci, co):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("h,c,f,k1", [
+    (16, 3, 2, (1, 3, 3, 1)),   # the RGB skip upsample (Toeplitz path)
+    (8, 5, 2, (1, 2, 1)),       # odd kernel
+    (8, 3, 4, (1, 3, 3, 1)),    # f=4
+])
+def test_upsample2d_packed_matches_unpacked(np_rng, h, c, f, k1):
+    """upsample2d_packed == space_to_depth(upsample2d(...)): the separable
+    kernels take the static-Toeplitz einsum path; gradients flow through the
+    same contraction."""
+    from contrad_tpu.ops.packed import upsample2d_packed
+    from contrad_tpu.ops.upfirdn2d import make_kernel, upsample2d
+
+    kern = make_kernel(list(k1))
+    x = jnp.asarray(np_rng.normal(size=(2, h, h, c)), jnp.float32)
+    ref = space_to_depth(upsample2d(x, kern, f), f)
+    got = upsample2d_packed(x, kern, f)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+    g_ref = jax.grad(
+        lambda x: jnp.sum(jnp.sin(space_to_depth(upsample2d(x, kern, f), f))))(x)
+    g_got = jax.grad(
+        lambda x: jnp.sum(jnp.sin(upsample2d_packed(x, kern, f))))(x)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_upsample2d_packed_nonseparable_fallback(np_rng):
+    """Non-separable kernels fall back to the packed dense-diagonal conv."""
+    from contrad_tpu.ops.packed import upsample2d_packed
+    from contrad_tpu.ops.upfirdn2d import upsample2d
+
+    kern = np.asarray(np_rng.uniform(0.1, 1.0, size=(4, 4)), np.float32)
+    kern = kern / kern.sum()
+    x = jnp.asarray(np_rng.normal(size=(2, 8, 8, 3)), jnp.float32)
+    ref = space_to_depth(upsample2d(x, jnp.asarray(kern), 2), 2)
+    got = upsample2d_packed(x, kern, 2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_generator_pack_top_parity(np_rng, rng, monkeypatch):
     """GStylegan2 with pack_top on vs off: same params + same noise RNG ->
     identical images (packing is layout-only, sub-pixel conv identity on the
