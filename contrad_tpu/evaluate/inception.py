@@ -232,20 +232,25 @@ def load_inception_variables(path: Optional[str] = None) -> dict:
     return convert_torch_checkpoint(state_dict)
 
 
-def _host_batched(forward, mesh=None):
+def _host_batched(forward, mesh=None, chunk=None):
     """Alias of :func:`contrad_tpu.parallel.mesh.host_batched` — the one
     pad/shard/slice wrapper shared by every mesh-batched host consumer."""
     from contrad_tpu.parallel.mesh import host_batched
 
-    return host_batched(forward, mesh)
+    return host_batched(forward, mesh, chunk=chunk)
 
 
-def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 50,
+def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 256,
                            mesh=None):
     """Returns embed_fn(images uint8/float NHWC) -> np (n, 2048) pool3
     features. With ``mesh`` the forward shards over the data axis (variables
     replicated) — n_dev× embedding throughput for offline scoring and stats
-    precompute; default is the single default device."""
+    precompute; default is the single default device. ``batch_size`` caps the
+    per-device images per dispatch: the 299^2 net holds ~5.6 MB of
+    activations per image, so an uncapped FID@10k stats precompute is a
+    >50 GB allocation (this OOM'd a 16 GB chip in the production-scale
+    drill; the reference streams batches of 50 from a DataLoader instead —
+    fid_score.py:161-185)."""
     variables = load_inception_variables(path)
     if mesh is not None:
         from contrad_tpu.parallel.mesh import replicate
@@ -259,13 +264,14 @@ def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 50,
         pool3, _ = model.apply(variables, x)
         return pool3
 
-    return _host_batched(forward, mesh)
+    return _host_batched(forward, mesh, chunk=batch_size)
 
 
-def get_inception_logits_fn(path: Optional[str] = None, mesh=None):
+def get_inception_logits_fn(path: Optional[str] = None, mesh=None,
+                            batch_size: int = 256):
     """Returns softmax_fn(images) -> np (n, 1008) class probabilities (for
     IS); ``mesh`` shards the forward over the data axis like
-    :func:`get_inception_embed_fn`."""
+    :func:`get_inception_embed_fn`, with the same per-device dispatch cap."""
     variables = load_inception_variables(path)
     if mesh is not None:
         from contrad_tpu.parallel.mesh import replicate
@@ -279,4 +285,4 @@ def get_inception_logits_fn(path: Optional[str] = None, mesh=None):
         _, logits = model.apply(variables, x)
         return jax.nn.softmax(logits, axis=-1)
 
-    return _host_batched(forward, mesh)
+    return _host_batched(forward, mesh, chunk=batch_size)

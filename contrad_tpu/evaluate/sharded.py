@@ -20,8 +20,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from contrad_tpu.parallel.mesh import (batch_sharding, place_global_batch,
-                                        replicated)
+from contrad_tpu.parallel.mesh import batch_sharding, replicated
 
 
 def moments_embed_jax(x: jax.Array) -> jax.Array:
@@ -66,19 +65,31 @@ def make_feature_sampler(trainer, embedder: str = "inception",
     """Build ``feature_fn(state, n, seed) -> np (n, d)``: generate ``n``
     samples from the trainer's G and embed them, all on the mesh.
 
-    Chunked at ``batch_per_call`` (rounded down to a device-count multiple);
-    deterministic in ``seed`` (chunk i uses PRNGKey(seed * 100003 + i), the
-    same stream-splitting constant the host sampler path uses, fid.py:78).
+    The whole trial is ONE jitted SPMD program: latent sampling, the G
+    forward, and the embedder run inside a ``lax.map`` over
+    ``ceil(n / batch_per_call)`` chunks, and only the ``(n, d)`` feature
+    matrix returns to the host. Per-chunk determinism is preserved exactly
+    (chunk i uses PRNGKey(seed * 100003 + i), the same stream-splitting
+    constant the host sampler path uses, fid.py:78) and ``seed`` is a traced
+    scalar, so the n_avg trials of one eval share a single compiled program.
+    Rationale: the previous host loop issued ~10 small dispatches per chunk
+    (host-side PRNG + sample_latent + device_put + embed); through the
+    single-chip axon tunnel each dispatch costs tens of ms of RPC latency,
+    which measured as ~2/3 of the whole in-loop eval cost at fid_size=2000
+    (round-4 eval-cadence diagnosis, BASELINE.md).
+
     ``use_ema`` selects the EMA generator (reference evaluates StyleGAN2 FID
     on g_ema, train_stylegan2.py:249).
 
     Multi-host: the program is collective — EVERY process must call
-    ``feature_fn`` with identical arguments (it is one SPMD dispatch over the
-    global mesh). Each process seeds the identical global latent batch and
-    contributes its local rows; features come back fully replicated so every
-    host reads the complete matrix (the reference gates FID on rank 0 and
-    samples on one GPU, train_gan.py:192-225 — here sampling/embedding stay
-    distributed and only the cheap O(d^3) stats math is duplicated)."""
+    ``feature_fn`` with identical arguments. Latents are computed inside the
+    program from the replicated key (identical values at any world size;
+    only the layout is sharded), and features come back fully replicated so
+    every host reads the complete matrix (the reference gates FID on rank 0
+    and samples on one GPU, train_gan.py:192-225 — here sampling/embedding
+    stay distributed and only the cheap O(d^3) stats math is duplicated)."""
+    from functools import partial
+
     mesh = trainer.mesh
     n_dev = int(mesh.devices.size)
     batch_per_call = max(n_dev, batch_per_call - batch_per_call % n_dev)
@@ -87,38 +98,30 @@ def make_feature_sampler(trainer, embedder: str = "inception",
     world = jax.process_count()
     # Cross-process readback of a process-sharded array is not addressable;
     # replicate the (small) feature output so every host sees all of it.
-    out_sharding = replicated(mesh) if world > 1 else b_shard
+    out_sharding = replicated(mesh) if world > 1 else None
 
-    def _gen_embed(state, z, noise_rng):
+    def _gen_embed(state, i, seed):
+        rng = jax.random.PRNGKey(seed * 100003 + i)
+        z_rng, noise_rng = jax.random.split(rng)
+        z = trainer.generator.sample_latent(z_rng, batch_per_call)
+        z = jax.lax.with_sharding_constraint(z, b_shard)
         params = state.g_ema_params if use_ema else state.g_params
         g_state = state.g_ema_state if use_ema else state.g_state
         images, _ = trainer.g_apply(params, g_state, z, train=False,
                                     update_state=False, rng=noise_rng)
         return embed(images.astype(jnp.float32))
 
-    gen_embed = jax.jit(_gen_embed, out_shardings=out_sharding)
-
-    def _place_z(z):
-        if world == 1:
-            return jax.device_put(z, b_shard)
-        per = batch_per_call // world
-        r = jax.process_index()
-        return place_global_batch(np.asarray(z)[r * per : (r + 1) * per],
-                                  mesh)
+    @partial(jax.jit, static_argnames="n_chunks", out_shardings=out_sharding)
+    def _trial(state, seed, n_chunks):
+        # lax.map = sequential scan: device memory holds ONE chunk of images/
+        # activations plus the accumulated (n_chunks, B, d) feature stack.
+        feats = jax.lax.map(lambda i: _gen_embed(state, i, seed),
+                            jnp.arange(n_chunks))
+        return feats.reshape(n_chunks * batch_per_call, feats.shape[-1])
 
     def feature_fn(state, n: int, seed: int = 0) -> np.ndarray:
-        feats = []
-        remaining, i = n, 0
-        while remaining > 0:
-            rng = jax.random.PRNGKey(seed * 100003 + i)
-            z_rng, noise_rng = jax.random.split(rng)
-            z = _place_z(
-                trainer.generator.sample_latent(z_rng, batch_per_call))
-            f = gen_embed(state, z, noise_rng)
-            take = min(batch_per_call, remaining)
-            feats.append(np.asarray(jax.device_get(f))[:take])
-            remaining -= take
-            i += 1
-        return np.concatenate(feats, axis=0)
+        n_chunks = -(-n // batch_per_call)
+        f = _trial(state, jnp.int32(seed), n_chunks)
+        return np.asarray(jax.device_get(f))[:n]
 
     return feature_fn

@@ -104,24 +104,44 @@ def broadcast_floats(*vals: float) -> tuple:
     return tuple(float(v) for v in out)
 
 
-def host_batched(forward, mesh: Optional[Mesh] = None):
+def host_batched(forward, mesh: Optional[Mesh] = None,
+                 chunk: Optional[int] = None):
     """Wrap a jitted images->features ``forward`` into a host fn accepting
     any batch size. With a mesh the batch shards over the data axis (ragged
     tails pad to a device-count multiple and slice back); without, it runs
-    on the default device. uint8 inputs are scaled to [0, 1] floats."""
+    on the default device. uint8 inputs are scaled to [0, 1] floats.
+
+    ``chunk`` bounds the PER-DEVICE batch each forward call sees — the
+    memory cap for big embedders. A 299^2 InceptionV3 forward materializes
+    ~5.6 MB of activations per image, so an unchunked FID@10k stats
+    precompute is a >50 GB allocation (observed: the production-scale eval
+    drill OOM'd the 16 GB chip exactly there). Calls larger than one chunk
+    pad up to a whole number of fixed-size chunks (one compiled program,
+    no tail recompile) and slice back; calls that fit stay single-dispatch."""
     n_dev = int(mesh.devices.size) if mesh is not None else 1
     b_shard = batch_sharding(mesh) if mesh is not None else None
+    per_call = chunk * n_dev if chunk else None
+
+    def one_call(x, n_keep):
+        pad = (-len(x)) % n_dev
+        if pad:
+            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+        placed = jax.device_put(x, b_shard) if b_shard is not None else x
+        return np.asarray(jax.device_get(forward(placed)))[:n_keep]
 
     def call(images):
         x = np.asarray(images)
         if x.dtype == np.uint8:
             x = x.astype(np.float32) / 255.0
         n = len(x)
-        pad = (-n) % n_dev
+        if per_call is None or n <= per_call:
+            return one_call(x, n)
+        pad = (-n) % per_call
         if pad:
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-        placed = jax.device_put(x, b_shard) if b_shard is not None else x
-        return np.asarray(jax.device_get(forward(placed)))[:n]
+        outs = [one_call(x[i:i + per_call], per_call)
+                for i in range(0, len(x), per_call)]
+        return np.concatenate(outs)[:n]
 
     return call
 

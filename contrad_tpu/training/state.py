@@ -39,6 +39,7 @@ def make_optimizer(
     lr_decay_fn=None,
     flat: bool = False,
     mu_dtype=None,
+    grads_dtype=None,
 ) -> optax.GradientTransformation:
     """Adam with the reference's linear LR warmup
     (``train_gan.py:88-93``: lr * min(1, (step+1)/warmup)) and an optional
@@ -56,7 +57,14 @@ def make_optimizer(
     for the update math, params stay f32 masters): ``jnp.bfloat16`` halves
     the mu read+write traffic — a byte-cut lever for the HBM-bound 32^2
     flagship step (BASELINE.md round-3 roofline: 82% of the bytes floor,
-    with params/optimizer/dW reductions the residual f32 bytes)."""
+    with params/optimizer/dW reductions the residual f32 bytes).
+
+    ``grads_dtype`` casts incoming gradients to that dtype before the Adam
+    math (the moment/update arithmetic promotes back to f32, params stay f32
+    masters). Inside the jitted step XLA sinks the convert into the dW conv
+    fusions' outputs, so ``jnp.bfloat16`` halves the dW write+read traffic.
+    Implemented as an update-fn wrapper, NOT ``optax.chain``, so the opt-state
+    pytree structure (and thus checkpoints) is identical to the default."""
 
     def schedule(count):
         lr_t = jnp.asarray(lr, dtype=jnp.float32)
@@ -67,6 +75,15 @@ def make_optimizer(
         return lr_t
 
     tx = optax.adam(schedule, b1=beta[0], b2=beta[1], mu_dtype=mu_dtype)
+    if grads_dtype is not None:
+        inner = tx
+
+        def _cast_update(updates, state, params=None):
+            updates = jax.tree.map(
+                lambda g: g.astype(grads_dtype), updates)
+            return inner.update(updates, state, params)
+
+        tx = optax.GradientTransformation(inner.init, _cast_update)
     return optax.flatten(tx) if flat else tx
 
 

@@ -391,3 +391,38 @@ def test_host_batched_mesh_pad_and_shard(devices):
         imgs = rng.integers(0, 256, size=(n, 4, 4, 3), dtype=np.uint8)
         np.testing.assert_allclose(sharded(imgs), plain(imgs), rtol=1e-6)
         assert sharded(imgs).shape == (n, 3)
+
+
+def test_host_batched_chunking(devices):
+    """``chunk`` caps the per-device batch per dispatch (the memory guard
+    that the production-scale FID@10k drill showed is mandatory at 299^2:
+    an unchunked 10k-image stats precompute is a >50 GB allocation). Results
+    must be identical to the unchunked wrapper for exact-multiple, ragged,
+    and smaller-than-one-chunk batch sizes."""
+    import jax
+
+    from contrad_tpu.evaluate.inception import _host_batched
+    from contrad_tpu.parallel.mesh import get_mesh
+
+    calls = []
+
+    @jax.jit
+    def forward(x):
+        calls.append(len(x))
+        return x.mean(axis=(1, 2))
+
+    mesh = get_mesh(devices)
+    n_dev = int(mesh.devices.size)
+    chunked = _host_batched(forward, mesh, chunk=2)  # per-device cap 2
+    plain = _host_batched(forward, mesh)
+    rng = np.random.default_rng(0)
+    for n in (3, 2 * n_dev, 2 * n_dev + 3, 5 * n_dev):
+        imgs = rng.integers(0, 256, size=(n, 4, 4, 3), dtype=np.uint8)
+        np.testing.assert_allclose(chunked(imgs), plain(imgs), rtol=1e-6)
+    # big calls split into FIXED-size chunks: the 2*n_dev shape was traced
+    # above, so a bigger ragged batch must not trace any new shape (no
+    # tail-recompile — `calls` records traces, jit caches executions)
+    big = rng.integers(0, 256, size=(7 * n_dev + 1, 4, 4, 3), dtype=np.uint8)
+    calls.clear()
+    out = chunked(big)
+    assert calls == [] and out.shape == (7 * n_dev + 1, 3)

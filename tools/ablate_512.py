@@ -30,16 +30,24 @@ def main():
     p.add_argument("--batch", default=8, type=int)
     p.add_argument("--flat_opt", action="store_true",
                    help="Adam over one raveled buffer (optax.flatten)")
+    p.add_argument("--mu", default="f32", choices=["f32", "bf16"],
+                   help="Adam first-moment storage dtype")
+    p.add_argument("--grads", default="f32", choices=["f32", "bf16"],
+                   help="gradient dtype entering Adam (dW byte-cut)")
     p.add_argument("--full_only", action="store_true",
                    help="skip component timings, report FULL STEP only")
     args = p.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+    mu_dtype = jnp.bfloat16 if args.mu == "bf16" else None
+    grads_dtype = jnp.bfloat16 if args.grads == "bf16" else None
 
     IMG = (512, 512, 3)
     B = args.batch
     g, d = get_architecture("stylegan2_512", IMG, dtype=dtype)
-    go = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt)
-    do = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt)
+    go = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt,
+                        mu_dtype=mu_dtype, grads_dtype=grads_dtype)
+    do = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt,
+                        mu_dtype=mu_dtype, grads_dtype=grads_dtype)
     tr = StyleGAN2Trainer(
         g, d, mode="contrad", augment_fn=get_augment("simclr_hq"),
         g_optimizer=go, d_optimizer=do, loss_type="nonsat",
@@ -55,7 +63,7 @@ def main():
     rng = jax.random.PRNGKey(2)
 
     print(f"devices: {jax.devices()}  dtype={args.dtype}  b{B}"
-          f"  flat_opt={args.flat_opt}")
+          f"  flat_opt={args.flat_opt}  mu={args.mu}  grads={args.grads}")
 
     def report(name, dt):
         print(f"  {name:28s} {dt*1000:8.2f} ms")

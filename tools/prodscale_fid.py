@@ -48,14 +48,21 @@ def synth_inception_weights(path: str, seed: int = 0):
 
     torch.manual_seed(seed)
     model = InceptionV3FID()
-    sd = model.state_dict()
-    # BN-realistic running stats so the forward stays finite
-    for k, v in sd.items():
-        if k.endswith("running_var"):
-            sd[k] = torch.rand_like(v) + 0.5
-        elif k.endswith("running_mean"):
-            sd[k] = torch.randn_like(v) * 0.1
-    torch.save(sd, path)
+    # He-normal convs + unit BN running stats + gamma jitter: torch's
+    # default kaiming-uniform(a=sqrt(5)) underscales a 94-conv-deep ReLU
+    # net, collapsing pool3 features to near-constant (measured FID ~ 7e-9
+    # between DIFFERENT image sets). With relu-gain init the random net
+    # discriminates (pool3 std ~1.8, mean-shift ~0.1 between disjoint
+    # noise sets), so the drill proves the full FID math end to end.
+    for m in model.modules():
+        if isinstance(m, torch.nn.Conv2d):
+            torch.nn.init.kaiming_normal_(m.weight, nonlinearity="relu")
+        elif isinstance(m, torch.nn.BatchNorm2d):
+            torch.nn.init.uniform_(m.weight, 0.5, 1.5)
+            torch.nn.init.normal_(m.bias, 0, 0.2)
+            m.running_var.fill_(1.0)
+            m.running_mean.zero_()
+    torch.save(model.state_dict(), path)
     return path
 
 
@@ -113,7 +120,7 @@ def main():
         fid = calculate_frechet_distance(mu_f, sig_f, mu_r, sig_r)
         fids.append(fid)
         times.append(dt)
-        print(f"trial {trial}: FID@{args.size} (random weights) = {fid:.3f} "
+        print(f"trial {trial}: FID@{args.size} (random weights) = {fid:.6g} "
               f"in {dt:.2f}s ({args.size / dt:.0f} img/s sample+embed)")
     print(f"mean eval time/trial: {np.mean(times):.2f}s; "
           f"full n_avg={args.n_avg} eval: {np.sum(times) + t_ref:.2f}s "

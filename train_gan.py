@@ -80,6 +80,10 @@ def parse_args():
                    help="Adam first-moment storage dtype; bf16 halves the mu "
                         "read+write HBM traffic (params stay f32 masters — "
                         "the 32^2 byte-cut lever, BASELINE.md round-3)")
+    p.add_argument("--opt_grads", default="f32", choices=["f32", "bf16"],
+                   help="gradient dtype entering Adam; bf16 halves the dW "
+                        "write+read HBM traffic (update math and params stay "
+                        "f32 — the second 32^2 byte-cut lever)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                    help="cpu forces the host platform (debug/smoke)")
     p.add_argument("--override", nargs="*", default=[],
@@ -166,10 +170,13 @@ def main():
                                                 n_classes=n_classes,
                                                 dtype=dtype)
     mu_dtype = jnp.bfloat16 if P.opt_moments == "bf16" else None
+    grads_dtype = jnp.bfloat16 if P.opt_grads == "bf16" else None
     g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
-                                 use_warmup=P.use_warmup, mu_dtype=mu_dtype)
+                                 use_warmup=P.use_warmup, mu_dtype=mu_dtype,
+                                 grads_dtype=grads_dtype)
     d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,
-                                 use_warmup=P.use_warmup, mu_dtype=mu_dtype)
+                                 use_warmup=P.use_warmup, mu_dtype=mu_dtype,
+                                 grads_dtype=grads_dtype)
 
     augment_fn = get_augment(P.aug, cfg.get("augment"))
     # Dataset-baked flip (reference datasets.py:49-69,83-126 bakes
