@@ -240,17 +240,23 @@ def _host_batched(forward, mesh=None, chunk=None):
     return host_batched(forward, mesh, chunk=chunk)
 
 
-def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 256,
-                           mesh=None):
+def get_inception_embed_fn(path: Optional[str] = None,
+                           per_device_batch: int = 256, mesh=None,
+                           batch_size: Optional[int] = None):
     """Returns embed_fn(images uint8/float NHWC) -> np (n, 2048) pool3
     features. With ``mesh`` the forward shards over the data axis (variables
     replicated) — n_dev× embedding throughput for offline scoring and stats
-    precompute; default is the single default device. ``batch_size`` caps the
-    per-device images per dispatch: the 299^2 net holds ~5.6 MB of
+    precompute; default is the single default device. ``per_device_batch``
+    caps the PER-DEVICE images per dispatch (so the effective dispatch is
+    ``per_device_batch * n_devices``): the 299^2 net holds ~5.6 MB of
     activations per image, so an uncapped FID@10k stats precompute is a
     >50 GB allocation (this OOM'd a 16 GB chip in the production-scale
     drill; the reference streams batches of 50 from a DataLoader instead —
-    fid_score.py:161-185)."""
+    fid_score.py:161-185). ``batch_size`` is a deprecated alias of
+    ``per_device_batch`` kept because the old parameter (nominal host batch,
+    silently ignored) shared the name."""
+    if batch_size is not None:
+        per_device_batch = batch_size
     variables = load_inception_variables(path)
     if mesh is not None:
         from contrad_tpu.parallel.mesh import replicate
@@ -264,14 +270,18 @@ def get_inception_embed_fn(path: Optional[str] = None, batch_size: int = 256,
         pool3, _ = model.apply(variables, x)
         return pool3
 
-    return _host_batched(forward, mesh, chunk=batch_size)
+    return _host_batched(forward, mesh, chunk=per_device_batch)
 
 
 def get_inception_logits_fn(path: Optional[str] = None, mesh=None,
-                            batch_size: int = 256):
+                            per_device_batch: int = 256,
+                            batch_size: Optional[int] = None):
     """Returns softmax_fn(images) -> np (n, 1008) class probabilities (for
     IS); ``mesh`` shards the forward over the data axis like
-    :func:`get_inception_embed_fn`, with the same per-device dispatch cap."""
+    :func:`get_inception_embed_fn`, with the same per-device dispatch cap
+    (``batch_size`` is the same deprecated alias)."""
+    if batch_size is not None:
+        per_device_batch = batch_size
     variables = load_inception_variables(path)
     if mesh is not None:
         from contrad_tpu.parallel.mesh import replicate
@@ -285,4 +295,4 @@ def get_inception_logits_fn(path: Optional[str] = None, mesh=None,
         _, logits = model.apply(variables, x)
         return jax.nn.softmax(logits, axis=-1)
 
-    return _host_batched(forward, mesh, chunk=batch_size)
+    return _host_batched(forward, mesh, chunk=per_device_batch)

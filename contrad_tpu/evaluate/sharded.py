@@ -72,6 +72,10 @@ def make_feature_sampler(trainer, embedder: str = "inception",
     (chunk i uses PRNGKey(seed * 100003 + i), the same stream-splitting
     constant the host sampler path uses, fid.py:78) and ``seed`` is a traced
     scalar, so the n_avg trials of one eval share a single compiled program.
+    NOTE the traced product is int32, so the host-path equivalence holds for
+    seeds below ~21475 (2^31 / 100003); callers pass trial indices
+    0..n_avg-1, comfortably inside that. (fold_in would dodge the wrap but
+    changes the stream and breaks fid.py:78 parity.)
     Rationale: the previous host loop issued ~10 small dispatches per chunk
     (host-side PRNG + sample_latent + device_put + embed); through the
     single-chip axon tunnel each dispatch costs tens of ms of RPC latency,

@@ -122,8 +122,14 @@ def host_batched(forward, mesh: Optional[Mesh] = None,
     b_shard = batch_sharding(mesh) if mesh is not None else None
     per_call = chunk * n_dev if chunk else None
 
-    def one_call(x, n_keep):
-        pad = (-len(x)) % n_dev
+    def one_call(x, n_keep, pad_to=None):
+        # f32 conversion and padding happen HERE, per dispatch, so the
+        # chunked path's peak host RAM is input + ONE chunk's f32 copy
+        # (padding/converting the whole array up front doubled it for the
+        # 10k-image stats precompute).
+        if x.dtype == np.uint8:
+            x = x.astype(np.float32) / 255.0
+        pad = (pad_to - len(x)) if pad_to is not None else (-len(x)) % n_dev
         if pad:
             x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
         placed = jax.device_put(x, b_shard) if b_shard is not None else x
@@ -131,16 +137,14 @@ def host_batched(forward, mesh: Optional[Mesh] = None,
 
     def call(images):
         x = np.asarray(images)
-        if x.dtype == np.uint8:
-            x = x.astype(np.float32) / 255.0
         n = len(x)
         if per_call is None or n <= per_call:
             return one_call(x, n)
-        pad = (-n) % per_call
-        if pad:
-            x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
-        outs = [one_call(x[i:i + per_call], per_call)
-                for i in range(0, len(x), per_call)]
+        # Ragged tail pads up to one fixed-size chunk (same compiled
+        # program as the full chunks — no tail recompile).
+        outs = [one_call(x[i:i + per_call], min(per_call, n - i),
+                         pad_to=per_call)
+                for i in range(0, n, per_call)]
         return np.concatenate(outs)[:n]
 
     return call

@@ -60,8 +60,11 @@ def make_optimizer(
     with params/optimizer/dW reductions the residual f32 bytes).
 
     ``grads_dtype`` casts incoming gradients to that dtype before the Adam
-    math (the moment/update arithmetic promotes back to f32, params stay f32
-    masters). Inside the jitted step XLA sinks the convert into the dW conv
+    math (mu/nu accumulation and the update stay f32 via optax's promotion,
+    params stay f32 masters — but note optax squares the gradient for the
+    second moment IN the cast dtype before promoting, so nu's g^2 term
+    carries one extra bf16 rounding; A/B-validated at 3k steps,
+    BASELINE.md round 4). Inside the jitted step XLA sinks the convert into the dW conv
     fusions' outputs, so ``jnp.bfloat16`` halves the dW write+read traffic.
     Implemented as an update-fn wrapper, NOT ``optax.chain``, so the opt-state
     pytree structure (and thus checkpoints) is identical to the default."""

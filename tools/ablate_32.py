@@ -22,6 +22,10 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from contrad_tpu.utils import enable_compile_cache
+
+enable_compile_cache()  # dedup the big-step compiles across profiling runs
+
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -26,6 +26,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from contrad_tpu.utils import enable_compile_cache
+
+enable_compile_cache()  # dedup the big-step compiles across profiling runs
+
 import jax
 import numpy as np
 
