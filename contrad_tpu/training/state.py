@@ -39,6 +39,7 @@ def make_optimizer(
     lr_decay_fn=None,
     flat: bool = False,
     mu_dtype=None,
+    nu_dtype=None,
     grads_dtype=None,
 ) -> optax.GradientTransformation:
     """Adam with the reference's linear LR warmup
@@ -59,6 +60,15 @@ def make_optimizer(
     flagship step (BASELINE.md round-3 roofline: 82% of the bytes floor,
     with params/optimizer/dW reductions the residual f32 bytes).
 
+    ``nu_dtype`` stores Adam's second moment in that dtype (mirror of the mu
+    lever: the state leaf is downcast after each update, the update math
+    upcasts to f32 first). CAUTION — unlike mu (b1 ∈ {0, 0.5} here, so each
+    step replaces 50-100% of the buffer), nu accumulates with b2 = 0.99-0.999:
+    the per-step increment (1-b2)·g² is 0.1-1% of the running value, at or
+    below bf16's ~0.4% epsilon, so a warm bf16 nu can stop absorbing gradient
+    -scale changes (round-to-nearest swallows the increment). Opt-in lever
+    for A/B measurement only; see BASELINE.md round 5 for the verdict.
+
     ``grads_dtype`` casts incoming gradients to that dtype before the Adam
     math (mu/nu accumulation and the update stay f32 via optax's promotion,
     params stay f32 masters — but note optax squares the gradient for the
@@ -78,6 +88,29 @@ def make_optimizer(
         return lr_t
 
     tx = optax.adam(schedule, b1=beta[0], b2=beta[1], mu_dtype=mu_dtype)
+    if nu_dtype is not None:
+        adam_tx = tx
+
+        def _is_adam(s):
+            return isinstance(s, optax.ScaleByAdamState)
+
+        def _map_nu(opt_state, f):
+            return jax.tree_util.tree_map(
+                lambda s: s._replace(nu=jax.tree.map(f, s.nu))
+                if _is_adam(s) else s,
+                opt_state, is_leaf=_is_adam)
+
+        def _nu_init(params):
+            return _map_nu(adam_tx.init(params),
+                           lambda x: x.astype(nu_dtype))
+
+        def _nu_update(updates, state, params=None):
+            state = _map_nu(state, lambda x: x.astype(jnp.float32))
+            updates, new_state = adam_tx.update(updates, state, params)
+            return updates, _map_nu(new_state,
+                                    lambda x: x.astype(nu_dtype))
+
+        tx = optax.GradientTransformation(_nu_init, _nu_update)
     if grads_dtype is not None:
         inner = tx
 

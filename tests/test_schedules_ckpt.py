@@ -130,6 +130,40 @@ def test_grads_dtype_optimizer_close_to_f32():
                                    rtol=1e-2, atol=1e-3)
 
 
+def test_nu_dtype_optimizer_close_to_f32():
+    """make_optimizer(nu_dtype=bf16) stores Adam's second moment bf16 (mirror
+    of the mu lever; update math upcasts to f32). Short-horizon trajectories
+    must track f32 to bf16 rounding — the lever's real risk (a warm nu whose
+    (1-b2) g^2 increment falls below bf16 eps and stops accumulating) only
+    shows at schedule scale, which the round-5 A/B drill measures."""
+    import optax
+
+    params = {"a": jnp.asarray([[1.0, -2.0], [0.5, 3.0]]),
+              "b": {"w": jnp.arange(5.0), "bias": jnp.asarray([0.1])}}
+    grads = jax.tree.map(lambda x: jnp.cos(x) + 0.3, params)
+
+    tx_f32 = make_optimizer(1e-2, (0.5, 0.999))
+    tx_bf16 = make_optimizer(1e-2, (0.5, 0.999), nu_dtype=jnp.bfloat16)
+    p_a, p_b = params, params
+    s_a, s_b = tx_f32.init(p_a), tx_bf16.init(p_b)
+    nu_leaves = jax.tree.leaves(s_b[0].nu)
+    assert all(l.dtype == jnp.bfloat16 for l in nu_leaves)
+    mu_leaves = jax.tree.leaves(s_b[0].mu)
+    assert all(l.dtype == jnp.float32 for l in mu_leaves)  # mu untouched
+    assert (jax.tree.structure(s_a, is_leaf=lambda x: x is None)
+            == jax.tree.structure(s_b, is_leaf=lambda x: x is None))
+    for _ in range(5):
+        u_a, s_a = tx_f32.update(grads, s_a, p_a)
+        u_b, s_b = tx_bf16.update(grads, s_b, p_b)
+        p_a = optax.apply_updates(p_a, u_a)
+        p_b = optax.apply_updates(p_b, u_b)
+    assert all(l.dtype == jnp.bfloat16 for l in jax.tree.leaves(s_b[0].nu))
+    for a, b in zip(jax.tree.leaves(p_a), jax.tree.leaves(p_b)):
+        assert b.dtype == jnp.float32  # params stay f32 masters
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-2, atol=1e-3)
+
+
 def test_halflife_decay_fn():
     batch = 64
     halflife_lr = 64000  # images

@@ -41,12 +41,12 @@ IMG = (32, 32, 3)
 BATCH = 512
 
 
-def measure(dtype, mu_dtype, grads_dtype, quick=False):
+def measure(dtype, mu_dtype, grads_dtype, nu_dtype=None, quick=False):
     g, d = get_architecture("sndcgan", IMG, dtype=dtype)
     go = make_optimizer(2e-4, (0.5, 0.999), mu_dtype=mu_dtype,
-                        grads_dtype=grads_dtype)
+                        nu_dtype=nu_dtype, grads_dtype=grads_dtype)
     do = make_optimizer(2e-4, (0.5, 0.999), mu_dtype=mu_dtype,
-                        grads_dtype=grads_dtype)
+                        nu_dtype=nu_dtype, grads_dtype=grads_dtype)
     tr = GANTrainer(g, d, mode="contrad", augment_fn=get_augment("simclr"),
                     g_optimizer=go, d_optimizer=do, loss_type="nonsat",
                     mesh=get_mesh())
@@ -67,15 +67,19 @@ def main():
     args = p.parse_args()
 
     variants = [
-        ("f32 (bench primary)", jnp.float32, None, None),
-        ("bf16 act (production)", jnp.bfloat16, None, None),
-        ("bf16 + mu bf16", jnp.bfloat16, jnp.bfloat16, None),
-        ("bf16 + dW bf16", jnp.bfloat16, None, jnp.bfloat16),
-        ("bf16 + mu + dW bf16", jnp.bfloat16, jnp.bfloat16, jnp.bfloat16),
+        ("f32 (bench primary)", jnp.float32, None, None, None),
+        ("bf16 act (production)", jnp.bfloat16, None, None, None),
+        ("bf16 + mu bf16", jnp.bfloat16, jnp.bfloat16, None, None),
+        ("bf16 + dW bf16", jnp.bfloat16, None, jnp.bfloat16, None),
+        ("bf16 + mu + dW bf16", jnp.bfloat16, jnp.bfloat16, jnp.bfloat16,
+         None),
+        ("bf16 + nu bf16", jnp.bfloat16, None, None, jnp.bfloat16),
+        ("bf16 + mu + nu + dW bf16", jnp.bfloat16, jnp.bfloat16,
+         jnp.bfloat16, jnp.bfloat16),
     ]
     print(f"devices: {jax.devices()}  batch={BATCH}  img={IMG}")
-    for name, dt, mu, gr in variants:
-        sec = measure(dt, mu, gr, quick=args.quick)
+    for name, dt, mu, gr, nu in variants:
+        sec = measure(dt, mu, gr, nu_dtype=nu, quick=args.quick)
         print(f"{name:24s} {sec * 1e3:7.2f} ms/step  "
               f"{BATCH / sec:8.0f} img/s/chip")
 

@@ -84,6 +84,9 @@ def parse_args():
                    help="gradient dtype entering Adam; bf16 halves the dW "
                         "write+read HBM traffic (update math and params stay "
                         "f32 — the second 32^2 byte-cut lever)")
+    p.add_argument("--opt_nu", default="f32", choices=["f32", "bf16"],
+                   help="Adam second-moment storage dtype (A/B lever; bf16 "
+                        "risks freezing a warm nu — see make_optimizer)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"],
                    help="cpu forces the host platform (debug/smoke)")
     p.add_argument("--override", nargs="*", default=[],
@@ -170,13 +173,14 @@ def main():
                                                 n_classes=n_classes,
                                                 dtype=dtype)
     mu_dtype = jnp.bfloat16 if P.opt_moments == "bf16" else None
+    nu_dtype = jnp.bfloat16 if P.opt_nu == "bf16" else None
     grads_dtype = jnp.bfloat16 if P.opt_grads == "bf16" else None
     g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
                                  use_warmup=P.use_warmup, mu_dtype=mu_dtype,
-                                 grads_dtype=grads_dtype)
+                                 nu_dtype=nu_dtype, grads_dtype=grads_dtype)
     d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,
                                  use_warmup=P.use_warmup, mu_dtype=mu_dtype,
-                                 grads_dtype=grads_dtype)
+                                 nu_dtype=nu_dtype, grads_dtype=grads_dtype)
 
     augment_fn = get_augment(P.aug, cfg.get("augment"))
     # Dataset-baked flip (reference datasets.py:49-69,83-126 bakes

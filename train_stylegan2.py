@@ -87,6 +87,9 @@ def parse_args():
     p.add_argument("--opt_grads", default="f32", choices=["f32", "bf16"],
                    help="gradient dtype entering Adam (bf16 halves dW "
                         "write+read HBM traffic; update math stays f32)")
+    p.add_argument("--opt_nu", default="f32", choices=["f32", "bf16"],
+                   help="Adam second-moment storage dtype (A/B lever; bf16 "
+                        "risks freezing a warm nu — see make_optimizer)")
     p.add_argument("--platform", default="auto", choices=["auto", "cpu"])
     p.add_argument("--override", nargs="*", default=[])
     p.add_argument("--logdir_root", default="logs", type=str)
@@ -177,15 +180,18 @@ def main():
         return 0.5 ** (boundary * opt.batch_size / P.halflife_lr)
 
     mu_dtype = jnp.bfloat16 if P.opt_moments == "bf16" else None
+    nu_dtype = jnp.bfloat16 if P.opt_nu == "bf16" else None
     grads_dtype = jnp.bfloat16 if P.opt_grads == "bf16" else None
     g_optimizer = make_optimizer(opt.lr, tuple(opt.beta), warmup=opt.warmup,
                                  use_warmup=P.use_warmup,
                                  lr_decay_fn=lr_decay_fn,
-                                 mu_dtype=mu_dtype, grads_dtype=grads_dtype)
+                                 mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                                 grads_dtype=grads_dtype)
     d_optimizer = make_optimizer(opt.lr_d, tuple(opt.beta), warmup=opt.warmup,
                                  use_warmup=P.use_warmup,
                                  lr_decay_fn=lr_decay_fn,
-                                 mu_dtype=mu_dtype, grads_dtype=grads_dtype)
+                                 mu_dtype=mu_dtype, nu_dtype=nu_dtype,
+                                 grads_dtype=grads_dtype)
 
     augment_fn = get_augment(P.aug, cfg.get("augment"))
     # Dataset-baked flip (reference datasets.py:49-69,83-126 bakes
