@@ -76,11 +76,20 @@ def get_dataset(dataset: str, data_path: Optional[str] = None) -> Entry:
         return train, val, image_size
 
     if dataset.startswith("synthetic"):
-        # synthetic[_<size>]: procedural data for smoke tests / benches.
-        size = int(dataset.split("_")[1]) if "_" in dataset else 32
+        # synthetic[_<size>[_<ntrain>]]: procedural data for smoke tests,
+        # benches, and CIFAR-scale eval drills. The 3-part form (e.g.
+        # synthetic_32_50000) sizes the test split like CIFAR (<=10k) and
+        # turns on class-anchored blobs so linear probes have real signal.
+        parts = dataset.split("_")
+        size = int(parts[1]) if len(parts) > 1 else 32
+        n_train = int(parts[2]) if len(parts) > 2 else 2048
+        n_test = max(512, min(n_train // 5, 10000))
+        class_signal = len(parts) > 2
         image_size = (size, size, 3)
-        train = synthetic_dataset(image_size, n=2048, seed=0)
-        test = synthetic_dataset(image_size, n=512, seed=1)
+        train = synthetic_dataset(image_size, n=n_train, seed=0,
+                                  class_signal=class_signal)
+        test = synthetic_dataset(image_size, n=n_test, seed=1,
+                                 class_signal=class_signal)
         return train, test, image_size
 
     raise NotImplementedError(f"unknown dataset: {dataset}")
