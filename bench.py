@@ -144,10 +144,11 @@ def bench_stylegan2(image_size, arch, batch, aug, dtype, steps=15, trials=2):
     g, d = get_architecture(arch, image_size, dtype=dtype)
     g_opt = make_optimizer(2e-3, (0.0, 0.99))
     d_opt = make_optimizer(2e-3, (0.0, 0.99))
+    pack = min(getattr(g, "packed_io", 1), getattr(d, "packed_io", 1))
     trainer = StyleGAN2Trainer(
-        g, d, mode="contrad", augment_fn=get_augment(aug),
+        g, d, mode="contrad", augment_fn=get_augment(aug, pack=pack),
         g_optimizer=g_opt, d_optimizer=d_opt, loss_type="nonsat",
-        lbd_r1=0.5, d_reg_every=16, mesh=get_mesh())
+        lbd_r1=0.5, d_reg_every=16, mesh=get_mesh(), packed_images=pack)
     state = trainer.place_state(create_train_state(
         jax.random.PRNGKey(0), g, d, image_size, g_opt, d_opt, ema=True))
     data = np.random.default_rng(0).integers(

@@ -85,35 +85,47 @@ def _hyper(params: Optional[Mapping], key: str) -> dict:
     return out
 
 
-def get_augment(mode: str = "none", params: Optional[Mapping] = None) -> Augment:
+def get_augment(mode: str = "none", params: Optional[Mapping] = None,
+                pack: int = 1) -> Augment:
     """Build an augmentation pipeline. ``params`` is the config's [augment]
-    table (per-augmentation hyperparameter sub-tables)."""
+    table (per-augmentation hyperparameter sub-tables).
+
+    ``pack=f``: the returned pipeline operates on space-to-depth f-packed
+    batches (ops/packed.py layout) with random streams identical to the
+    unpacked pipeline — used by the 512^2 StyleGAN2 train path to keep
+    G -> augment -> D packed end to end. Not every mode has a packed form
+    (gaussian/diffaug raise)."""
     if mode == "none":
         return no_augment()
     if mode == "gaussian":
-        return gaussian_noise(**_hyper(params, "gaussian"))
+        return gaussian_noise(**_hyper(params, "gaussian"), pack=pack)
     if mode == "hflip":
-        return horizontal_flip()
+        return horizontal_flip(pack=pack)
     if mode == "hfrt":
-        return hflip_random_crop(**_hyper(params, "hfrt"))
+        return hflip_random_crop(**_hyper(params, "hfrt"), pack=pack)
     if mode == "color_jitter":
-        return color_jitter(**_hyper(params, "color_jitter"))
+        return color_jitter(**_hyper(params, "color_jitter"), pack=pack)
     if mode == "cutout":
-        return cutout(**_hyper(params, "cutout"))
+        return cutout(**_hyper(params, "cutout"), pack=pack)
     if mode == "diffaug":
+        if pack != 1:
+            raise NotImplementedError("diffaug has no packed variant")
         return diff_augment(**_hyper(params, "diffaug"))
 
     if mode in ("simclr", "simclr_hq", "simclr_hq_cutout"):
         stages = [
-            random_resize_crop(**_hyper(params, "rrc")),
-            horizontal_flip(),
-            random_apply(color_jitter(**_hyper(params, "color_jitter")), 0.8),
-            random_apply(grayscale(), 0.2),
+            random_resize_crop(**_hyper(params, "rrc"), pack=pack),
+            horizontal_flip(pack=pack),
+            random_apply(color_jitter(**_hyper(params, "color_jitter"),
+                                      pack=pack), 0.8),
+            random_apply(grayscale(pack=pack), 0.2),
         ]
         if mode in ("simclr_hq", "simclr_hq_cutout"):
-            stages.append(random_apply(gaussian_blur(**_hyper(params, "blur")), 0.5))
+            stages.append(random_apply(
+                gaussian_blur(**_hyper(params, "blur"), pack=pack), 0.5))
         if mode == "simclr_hq_cutout":
-            stages.append(random_apply(cutout(**_hyper(params, "cutout")), 0.5))
+            stages.append(random_apply(
+                cutout(**_hyper(params, "cutout"), pack=pack), 0.5))
         return compose(*stages)
 
     raise NotImplementedError(f"unknown augmentation mode: {mode}")

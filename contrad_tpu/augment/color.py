@@ -97,15 +97,28 @@ def _check_range(value, name, center=1.0, bound=(0.0, float("inf")),
     return (lo, hi)
 
 
-def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augment:
+def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1,
+                 pack: int = 1) -> Augment:
     """Per-sample brightness/contrast/saturation/hue jitter
     (reference ColorJitterLayer): contrast in RGB space, B/S/H jointly in HSV
-    space, the two sub-transforms applied in random order per batch."""
+    space, the two sub-transforms applied in random order per batch.
+
+    ``pack=f``: the batch is space-to-depth packed; all the math is per fine
+    pixel, so a free reshape to (..., f*f, C) recovers the RGB axis (the
+    packed channel index is (slot)*C + c) and the random draws keep the
+    unpacked shapes — identical streams, identical values."""
     b_range = _check_range(brightness, "brightness")
     c_range = _check_range(contrast, "contrast")
     s_range = _check_range(saturation, "saturation")
     h_range = _check_range(hue, "hue", center=0.0, bound=(-0.5, 0.5),
                            clip_first_on_zero=False)
+    ff = pack * pack
+
+    def _view(x):
+        """(N, H, W, ff*C) -> (N, H, W, ff, C) for pack>1 (free reshape)."""
+        if pack == 1:
+            return x
+        return x.reshape(x.shape[:3] + (ff, x.shape[3] // ff))
 
     def adjust_contrast(rng, x):
         if c_range is None:
@@ -113,8 +126,14 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augme
         n = x.shape[0]
         factor = jax.random.uniform(rng, (n, 1, 1, 1), minval=c_range[0],
                                     maxval=c_range[1]).astype(x.dtype)
-        means = jnp.mean(x, axis=(1, 2), keepdims=True)  # per-channel mean
-        return jnp.clip((x - means) * factor + means, 0.0, 1.0)
+        if pack == 1:
+            means = jnp.mean(x, axis=(1, 2), keepdims=True)  # per-channel mean
+            return jnp.clip((x - means) * factor + means, 0.0, 1.0)
+        xv = _view(x)
+        # per-channel mean over ALL fine pixels = over (H, W, slot)
+        means = jnp.mean(xv, axis=(1, 2, 3), keepdims=True)
+        out = jnp.clip((xv - means) * factor[..., None] + means, 0.0, 1.0)
+        return out.reshape(x.shape)
 
     def adjust_hsv(rng, x):
         n = x.shape[0]
@@ -126,10 +145,13 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augme
                if s_range else jnp.ones(shape))
         f_v = (jax.random.uniform(r_v, shape, minval=b_range[0], maxval=b_range[1])
                if b_range else jnp.ones(shape))
+        if pack > 1:  # broadcast over (H, W, slot)
+            f_h, f_s, f_v = (f[..., None] for f in (f_h, f_s, f_v))
         # dtype-preserving: a bf16 batch must not be silently promoted to f32
         # by f32 jitter factors (the augment chain is HBM-bound in the step).
-        return _hsv_adjust(x, f_h.astype(x.dtype), f_s.astype(x.dtype),
-                           f_v.astype(x.dtype))
+        out = _hsv_adjust(_view(x), f_h.astype(x.dtype), f_s.astype(x.dtype),
+                          f_v.astype(x.dtype))
+        return out.reshape(x.shape) if pack > 1 else out
 
     def fn(rng, x):
         r_order, r_c, r_hsv = jax.random.split(rng, 3)
@@ -145,18 +167,29 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1) -> Augme
     return fn
 
 
-def grayscale() -> Augment:
+def grayscale(pack: int = 1) -> Augment:
     """Luminance-weighted grayscale (reference RandomColorGrayLayer)."""
+    ff = pack * pack
+
     def fn(rng, x):
         w = jnp.asarray(_GRAY_WEIGHTS, dtype=x.dtype)
-        l = jnp.sum(x * w, axis=-1, keepdims=True)
-        return jnp.broadcast_to(l, x.shape)
+        if pack == 1:
+            l = jnp.sum(x * w, axis=-1, keepdims=True)
+            return jnp.broadcast_to(l, x.shape)
+        xv = x.reshape(x.shape[:3] + (ff, x.shape[3] // ff))
+        l = jnp.sum(xv * w, axis=-1, keepdims=True)
+        return jnp.broadcast_to(l, xv.shape).reshape(x.shape)
 
     return fn
 
 
-def gaussian_noise(sigma: float = 0.12) -> Augment:
+def gaussian_noise(sigma: float = 0.12, pack: int = 1) -> Augment:
     """Additive Gaussian noise, clamped (reference Gaussian layer)."""
+    if pack != 1:
+        # Not in any packed (512^2) recipe; drawing fine-shaped noise and
+        # packing it would reintroduce the transpose this path exists to
+        # avoid. Wire it up if a packed recipe ever needs it.
+        raise NotImplementedError("gaussian_noise has no packed variant")
 
     def fn(rng, x):
         noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
@@ -165,7 +198,8 @@ def gaussian_noise(sigma: float = 0.12) -> Augment:
     return fn
 
 
-def gaussian_blur(sigma_range: Tuple[float, float] = (0.1, 2.0)) -> Augment:
+def gaussian_blur(sigma_range: Tuple[float, float] = (0.1, 2.0),
+                  pack: int = 1) -> Augment:
     """Gaussian blur with kernel_size = H // 10 (odd) and one sigma per batch,
     reflect padding (reference GaussianBlur layer in augment/__init__.py:53-78).
 
@@ -176,10 +210,15 @@ def gaussian_blur(sigma_range: Tuple[float, float] = (0.1, 2.0)) -> Augment:
     ~5/6 of the bandwidth, and a 51-tap depthwise pass at 512^2 measured
     ~32 ms/step in the simclr_hq ContraD profile. The matmul form is
     mathematically the same sum, reordered.
+
+    ``pack=f``: the Toeplitz matrices reshape into (coarse, slot) phase
+    blocks and contract against the packed operand directly (same taps, same
+    FLOPs, no unpack).
     """
 
     def fn(rng, x):
-        n, h, w, c = x.shape
+        n = x.shape[0]
+        h, w = x.shape[1] * pack, x.shape[2] * pack
         radius = (h // 10) // 2
         ksize = radius * 2 + 1
         sigma = jax.random.uniform(rng, (), minval=sigma_range[0],
@@ -201,7 +240,16 @@ def gaussian_blur(sigma_range: Tuple[float, float] = (0.1, 2.0)) -> Augment:
 
         th = toeplitz(h).astype(x.dtype)
         tw = th if w == h else toeplitz(w).astype(x.dtype)
-        y = jnp.einsum("Hh,nhwc->nHwc", th, x)
-        return jnp.einsum("Ww,nhwc->nhWc", tw, y)
+        if pack == 1:
+            y = jnp.einsum("Hh,nhwc->nHwc", th, x)
+            return jnp.einsum("Ww,nhwc->nhWc", tw, y)
+        f = pack
+        hc, wc, cc = x.shape[1], x.shape[2], x.shape[3]
+        xv = x.reshape(n, hc, wc, f, f, cc // (f * f))
+        thr = th.reshape(hc, f, hc, f)  # [I, A, i, a]
+        twr = tw.reshape(wc, f, wc, f)  # [J, B, j, b]
+        y = jnp.einsum("IAia,nijabc->nIjAbc", thr, xv)
+        o = jnp.einsum("JBjb,nIjAbc->nIJABc", twr, y)
+        return o.reshape(x.shape)
 
     return fn

@@ -138,6 +138,11 @@ class Discriminator(nn.Module):
             self.d_hidden, self.d_project,
             use_sn=self.use_sn, kernel_init=self.head_kernel_init)
 
+    @property
+    def packed_io(self) -> int:
+        """Packed-image factor the backbone can consume directly (1 = none)."""
+        return int(getattr(self.backbone, "packed_io", 1))
+
     def penultimate(self, x, train: bool = True):
         return self.backbone(x, train=train)
 
@@ -148,12 +153,18 @@ class Discriminator(nn.Module):
         train: bool = True,
         sg_linear: bool = False,
         finetuning: bool = False,
+        packed_in: bool = False,
     ):
-        """Returns (d, aux) with aux = {penultimate, projection, projection2}."""
+        """Returns (d, aux) with aux = {penultimate, projection, projection2}.
+
+        ``packed_in``: ``x`` is space-to-depth packed and the backbone
+        consumes it directly (StyleGAN2-512 packed train path; only
+        backbones with a packed stem accept it)."""
+        bk = {"packed_in": True} if packed_in else {}
         if finetuning:
-            feats = jax.lax.stop_gradient(self.backbone(x, train=False))
+            feats = jax.lax.stop_gradient(self.backbone(x, train=False, **bk))
         else:
-            feats = self.backbone(x, train=train)
+            feats = self.backbone(x, train=train, **bk)
 
         feats_d = jax.lax.stop_gradient(feats) if sg_linear else feats
         d = self.linear(feats_d, y, train=train)

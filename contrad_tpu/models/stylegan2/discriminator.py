@@ -97,14 +97,23 @@ class ResidualBackbone(nn.Module):
     # tools/packed_micro.py). Param tree is unchanged.
     pack_stem: bool = True
 
+    @property
+    def packed_io(self) -> int:
+        """2 when this D can consume packed images (``packed_in=True``),
+        else 1 (static mirror of the stem-packing condition below)."""
+        ch = stylegan2_channels(self.channel_multiplier, self.small32)
+        return 2 if (self.pack_stem and ch[self.size] <= 32) else 1
+
     @nn.compact
-    def __call__(self, x, train: bool = True):
+    def __call__(self, x, train: bool = True, packed_in: bool = False):
         from contrad_tpu.ops.packed import space_to_depth
 
         channels = stylegan2_channels(self.channel_multiplier, self.small32)
         packed = self.pack_stem and channels[self.size] <= 32
+        if packed_in and not packed:
+            raise ValueError("packed_in requires a packed stem")
         x = (x * 2.0 - 1.0).astype(self.dtype)
-        if packed:
+        if packed and not packed_in:
             x = space_to_depth(x, 2)
         x = FromRGB(channels[self.size], pack=(2, 2) if packed else (1, 1),
                     name="from_rgb")(x)

@@ -268,6 +268,14 @@ class GStylegan2(nn.Module):
     pack_top: bool = True
 
     @property
+    def packed_io(self) -> int:
+        """2 when this G can emit packed images (``packed_out=True``), else 1.
+        Static (field-only) mirror of the setup-time ``_packed_top`` flag so
+        trainers/CLIs can decide the packed-image path before init."""
+        ch = stylegan2_channels(self.channel_multiplier, self.small32)
+        return 2 if (self.pack_top and ch[self.size] <= 64) else 1
+
+    @property
     def log_size(self) -> int:
         return int(math.log2(self.size))
 
@@ -334,7 +342,7 @@ class GStylegan2(nn.Module):
 
     def __call__(self, z, train: bool = True, style_mix: float = 0.9,
                  input_is_latent: bool = False, noise: Optional[Any] = None,
-                 return_latents: bool = False):
+                 return_latents: bool = False, packed_out: bool = False):
         latent = z if input_is_latent else self.style_forward(z)
 
         if noise is None:
@@ -379,7 +387,10 @@ class GStylegan2(nn.Module):
                 out = depth_to_space(out, 2)
                 skip = depth_to_space(skip, 2)
 
-        if self._packed_top:
+        if packed_out and not self._packed_top:
+            raise ValueError("packed_out requires a packed top level "
+                             "(pack_top and a lane-shallow top channel map)")
+        if self._packed_top and not packed_out:
             skip = depth_to_space(skip, 2)
         # Training emits the compute dtype: an f32 image here would promote
         # the whole downstream augment chain (and, via the [real, real, fake]

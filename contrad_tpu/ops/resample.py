@@ -226,10 +226,22 @@ def axis_aligned_transform(
     bias_y: jax.Array,  # (N,) theta[:,1,2]
     mode: str = "bilinear",
     padding_mode: str = "reflection",
+    pack: int = 1,
 ) -> jax.Array:
     """Per-sample axis-aligned affine warp as two batched matmuls.
-    Equivalent to affine_transform with diagonal theta (tested against it)."""
-    n, h, w, _ = images.shape
+    Equivalent to affine_transform with diagonal theta (tested against it).
+
+    ``pack=f``: ``images`` is the space-to-depth f-packing of the logical
+    NHWC batch (ops/packed.py layout, channel index (a_y*f + a_x)*C + c) and
+    the warp is applied to the UNDERLYING fine image without unpacking — the
+    fine output index splits as (coarse, slot), so the per-axis weight
+    matrix reshapes into phase blocks and the same contraction runs on the
+    packed operand. Exact reindexing of the pack=1 matmuls (same weights,
+    same FLOPs); avoids the pack/unpack layout copies that cost ~4.8 ms/step
+    in the 512^2 train step (round-5 trace)."""
+    n = images.shape[0]
+    f = pack
+    h, w = images.shape[1] * f, images.shape[2] * f
     xs = (2.0 * jnp.arange(w, dtype=jnp.float32) + 1.0) / w - 1.0
     ys = (2.0 * jnp.arange(h, dtype=jnp.float32) + 1.0) / h - 1.0
     src_x = scale_x[:, None] * xs[None, :] + bias_x[:, None]  # (N, W) normalized
@@ -241,6 +253,15 @@ def axis_aligned_transform(
     wy = _axis_weight_matrix(iy, h, mode, padding_mode)  # (N, H, H_in)
 
     dtype = images.dtype
-    out = jnp.einsum("nih,nhwc->niwc", wy.astype(dtype), images)
-    out = jnp.einsum("njw,niwc->nijc", wx.astype(dtype), out)
-    return out
+    if f == 1:
+        out = jnp.einsum("nih,nhwc->niwc", wy.astype(dtype), images)
+        out = jnp.einsum("njw,niwc->nijc", wx.astype(dtype), out)
+        return out
+    hc, wc, cc = images.shape[1], images.shape[2], images.shape[3]
+    c = cc // (f * f)
+    xv = images.reshape(n, hc, wc, f, f, c)
+    wyr = wy.reshape(n, hc, f, hc, f).astype(dtype)  # [n, I, A, i, a]
+    wxr = wx.reshape(n, wc, f, wc, f).astype(dtype)  # [n, J, B, j, b]
+    t = jnp.einsum("nIAia,nijabc->nIjAbc", wyr, xv)
+    o = jnp.einsum("nJBjb,nIjAbc->nIJABc", wxr, t)
+    return o.reshape(n, hc, wc, cc)

@@ -34,11 +34,14 @@ from contrad_tpu.training.modes import ModeCtx, get_mode
 from contrad_tpu.training.state import GANTrainState, ema_update
 
 
-def make_d_apply(discriminator) -> Callable:
+def make_d_apply(discriminator, packed_in: bool = False) -> Callable:
     """Functional apply for the discriminator, returning ((d, aux), new_state).
 
     ``update_state=False`` runs in train mode without persisting mutable
-    collections (used by penalty/R1-internal D calls)."""
+    collections (used by penalty/R1-internal D calls). ``packed_in`` bakes the
+    packed-image input path (x is space-to-depth packed; StyleGAN2-512 train
+    step) — eval consumers keep the default image layout."""
+    extra = {"packed_in": True} if packed_in else {}
 
     def d_apply(params, state, x, y=None, train=True, sg_linear=False,
                 finetuning=False, update_state=True):
@@ -46,20 +49,22 @@ def make_d_apply(discriminator) -> Callable:
         if train and update_state and state:
             out, mutated = discriminator.apply(
                 variables, x, y=y, train=train, sg_linear=sg_linear,
-                finetuning=finetuning, mutable=list(state.keys()))
+                finetuning=finetuning, mutable=list(state.keys()), **extra)
             return out, mutated
         out = discriminator.apply(
             variables, x, y=y, train=train, sg_linear=sg_linear,
-            finetuning=finetuning)
+            finetuning=finetuning, **extra)
         return out, state
 
     return d_apply
 
 
-def make_g_apply(generator) -> Callable:
+def make_g_apply(generator, packed_out: bool = False) -> Callable:
     """Functional apply for the generator. ``rng`` feeds the linen 'noise'
     stream (StyleGAN2 noise injection + style mixing); extra kwargs pass
-    through (style_mix, ...)."""
+    through (style_mix, ...). ``packed_out`` bakes the packed-image output
+    (StyleGAN2-512 train step); eval consumers keep images."""
+    extra = {"packed_out": True} if packed_out else {}
 
     def g_apply(params, state, z, train=True, update_state=True, rng=None,
                 **kwargs):
@@ -68,9 +73,10 @@ def make_g_apply(generator) -> Callable:
         if train and update_state and state:
             out, mutated = generator.apply(
                 variables, z, train=train, rngs=rngs,
-                mutable=list(state.keys()), **kwargs)
+                mutable=list(state.keys()), **extra, **kwargs)
             return out, mutated
-        out = generator.apply(variables, z, train=train, rngs=rngs, **kwargs)
+        out = generator.apply(variables, z, train=train, rngs=rngs,
+                              **extra, **kwargs)
         return out, state
 
     return g_apply
@@ -111,6 +117,7 @@ class GANTrainer:
         mesh=None,
         g_kwargs: Optional[dict] = None,
         real_aug_fn: Optional[Callable] = None,
+        packed_images: int = 1,
     ):
         self.generator = generator
         self.discriminator = discriminator
@@ -139,8 +146,24 @@ class GANTrainer:
             or getattr(getattr(discriminator, "backbone", None), "dtype", None)
             or jnp.float32)
 
-        self.g_apply = make_g_apply(generator)
-        self.d_apply = make_d_apply(discriminator)
+        # Packed-image train path (512^2 StyleGAN2): G emits space-to-depth
+        # packed images, the augment chain (caller-built with a matching
+        # ``get_augment(..., pack=f)``) operates on them, and D consumes them
+        # — no pack/unpack layout copies between the three (measured
+        # ~4.8 ms/step of pure relayout in the round-5 512^2 trace). Eval
+        # surfaces (``self.g_apply``, ``_sample``, sharded FID) keep images.
+        self.pack_images = int(packed_images)
+        if self.pack_images > 1:
+            assert getattr(generator, "packed_io", 1) == self.pack_images, \
+                "generator cannot emit packed images"
+            assert getattr(discriminator, "packed_io", 1) == self.pack_images, \
+                "discriminator cannot consume packed images"
+
+        self.g_apply = make_g_apply(generator)  # image-layout (eval surfaces)
+        self._g_apply_train = make_g_apply(
+            generator, packed_out=self.pack_images > 1)
+        self.d_apply = make_d_apply(
+            discriminator, packed_in=self.pack_images > 1)
         self.ctx = ModeCtx(
             d_apply=self.d_apply,
             augment_fn=augment_fn,
@@ -182,8 +205,8 @@ class GANTrainer:
         n = images.shape[0]
 
         z = self.generator.sample_latent(z_rng, n)
-        gen_images, g_state = self.g_apply(g_params, g_state, z, train=True,
-                                           rng=noise_rng, **self.g_kwargs)
+        gen_images, g_state = self._g_apply_train(
+            g_params, g_state, z, train=True, rng=noise_rng, **self.g_kwargs)
         gen_images = jax.lax.stop_gradient(gen_images)
 
         y_gen = (jax.random.randint(y_rng, (n,), 0, self.n_classes)
@@ -198,8 +221,8 @@ class GANTrainer:
         """One G gradient step; returns new G triple, advanced D state, loss."""
 
         def g_loss_fn(p):
-            gen_images, new_g_state = self.g_apply(p, g_state, z, train=True,
-                                                   rng=noise_rng, **self.g_kwargs)
+            gen_images, new_g_state = self._g_apply_train(
+                p, g_state, z, train=True, rng=noise_rng, **self.g_kwargs)
             g_loss, new_d_state = self.loss_G(
                 self.ctx, d_params, d_state, gen_images, g_loss_rng, y_gen=y_gen)
             return g_loss, (new_g_state, new_d_state, gen_images)
@@ -217,6 +240,9 @@ class GANTrainer:
         """images: (n_critic * B, H, W, C), uint8 or float in [0,1];
         labels: (n_critic * B,) int class labels (conditional D only)."""
         images = _to_float(images, self.image_dtype)
+        if self.pack_images > 1:
+            from contrad_tpu.ops.packed import space_to_depth
+            images = space_to_depth(images, self.pack_images)
         rng = state.rng
         if self.real_aug_fn is not None:
             rng, ra_rng = jax.random.split(rng)
@@ -426,6 +452,9 @@ class StyleGAN2Trainer(GANTrainer):
     def _sg2_step(self, state: GANTrainState, images: jax.Array,
                   ema_decay, do_r1: bool):
         images = _to_float(images, self.image_dtype)
+        if self.pack_images > 1:
+            from contrad_tpu.ops.packed import space_to_depth
+            images = space_to_depth(images, self.pack_images)
         rng = state.rng
         if self.real_aug_fn is not None:
             rng, ra_rng = jax.random.split(rng)

@@ -52,10 +52,11 @@ def main():
                         mu_dtype=mu_dtype, grads_dtype=grads_dtype)
     do = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt,
                         mu_dtype=mu_dtype, grads_dtype=grads_dtype)
+    pack = min(g.packed_io, d.packed_io)  # packed-image path (as the CLI)
     tr = StyleGAN2Trainer(
-        g, d, mode="contrad", augment_fn=get_augment("simclr_hq"),
+        g, d, mode="contrad", augment_fn=get_augment("simclr_hq", pack=pack),
         g_optimizer=go, d_optimizer=do, loss_type="nonsat",
-        lbd_r1=0.5, d_reg_every=16, mesh=get_mesh())
+        lbd_r1=0.5, d_reg_every=16, mesh=get_mesh(), packed_images=pack)
     st = tr.place_state(create_train_state(
         jax.random.PRNGKey(0), g, d, IMG, go, do, ema=True))
     data = np.random.default_rng(0).integers(0, 256, size=(B,) + IMG,
