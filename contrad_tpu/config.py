@@ -94,6 +94,45 @@ def load_config(
     return Config.wrap(merged)
 
 
+def _toml_value(v: Any) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, str):
+        return '"' + v.replace("\\", "\\\\").replace('"', '\\"') + '"'
+    if isinstance(v, (list, tuple)):
+        return "[" + ", ".join(_toml_value(x) for x in v) + "]"
+    raise TypeError(f"cannot serialize {type(v)!r} to TOML")
+
+
+def dump_toml(cfg: dict) -> str:
+    """Serialize a (possibly nested) config dict to TOML text.
+
+    Used to persist the EFFECTIVE config (defaults + experiment + CLI
+    ``--override``s merged) into the run logdir — a raw copy of the
+    experiment file would silently drop overrides, so ``load_run``-based
+    eval CLIs and bare resumes would reconstruct the wrong run (found when a
+    ``--override options.dataset=...`` run's lineval tried to load the
+    config-file dataset)."""
+
+    def section(prefix: str, d: dict, out: list) -> None:
+        scalars = {k: v for k, v in d.items() if not isinstance(v, dict)}
+        tables = {k: v for k, v in d.items() if isinstance(v, dict)}
+        if prefix and (scalars or not tables):
+            out.append(f"[{prefix}]")
+        for k, v in scalars.items():
+            out.append(f"{k} = {_toml_value(v)}")
+        if scalars:
+            out.append("")
+        for k, v in tables.items():
+            section(f"{prefix}.{k}" if prefix else k, v, out)
+
+    out: list = ["# effective config (defaults + experiment + CLI overrides)"]
+    section("", cfg.to_dict() if isinstance(cfg, Config) else dict(cfg), out)
+    return "\n".join(out) + "\n"
+
+
 def default_config_files(experiment: str | Path, repo_root: str | Path | None = None) -> list[Path]:
     """[defaults/gan.toml, defaults/augment.toml, experiment] — mirrors the
     reference's gin parse order."""

@@ -39,6 +39,24 @@ DATA_PATH = os.environ.get("DATA_DIR", "data/")
 Entry = Tuple[ArrayDataset, Optional[ArrayDataset], Tuple[int, int, int]]
 
 
+def get_image_size(dataset: str) -> Tuple[int, int, int]:
+    """Image shape of a dataset WITHOUT loading it. Eval CLIs that only need
+    the architecture's resolution (sampling, cDDLS, lineval with an explicit
+    --dataset) must not require the training dataset's files to be present
+    (reference eval scripts rebuild the model from the gin config alone)."""
+    if dataset.startswith("cifar"):
+        return (32, 32, 3)
+    if dataset == "celeba128":
+        return (128, 128, 3)
+    if dataset.startswith("afhq_"):
+        return (512, 512, 3)
+    if dataset.startswith("synthetic"):
+        parts = dataset.split("_")
+        size = int(parts[1]) if len(parts) > 1 else 32
+        return (size, size, 3)
+    raise NotImplementedError(f"unknown dataset: {dataset}")
+
+
 def get_dataset(dataset: str, data_path: Optional[str] = None) -> Entry:
     root = data_path or DATA_PATH
 
@@ -121,6 +139,7 @@ __all__ = [
     "ShardedDeviceBatchIterator",
     "make_train_loader",
     "get_dataset",
+    "get_image_size",
     "get_dataset_ref",
     "synthetic_dataset",
     "DATA_PATH",

@@ -56,8 +56,19 @@ def worker_env(devices_per_proc: int, repo: str) -> Dict[str, str]:
     return env
 
 
+# XLA's CPU gloo collectives create rendezvous contexts lazily DURING program
+# execution, each with a hardcoded 30 s key-value-store deadline (no Python
+# knob: jaxlib's make_gloo_tcp_collectives takes no timeout).  On an
+# oversubscribed host (one core, concurrent compiles in other processes) a
+# rank can be starved off-CPU for >30 s between two context creations, which
+# kills the whole world with this signature.  That is an environment-induced
+# rendezvous timeout, not a code bug — worlds that hit it are retried once.
+GLOO_FLAKE_SIGNATURE = "Gloo context initialization failed"
+
+
 def spawn_world(cmds_envs: Sequence[Tuple[List[str], Dict[str, str]]],
-                cwd: str, timeout: float = 900) -> List[str]:
+                cwd: str, timeout: float = 900,
+                retries: int = 2) -> List[str]:
     """Launch one process per ``(cmd, env)``, wait for all, kill stragglers.
 
     All processes are launched before any is waited on (they must rendezvous
@@ -67,31 +78,43 @@ def spawn_world(cmds_envs: Sequence[Tuple[List[str], Dict[str, str]]],
     world deadlocks into the timeout.  ``timeout`` is one shared deadline for
     the world, not per process.  Raises ``RuntimeError`` with the failing
     process's output tail if any exits non-zero; returns the per-process
-    outputs (stdout+stderr combined) otherwise."""
-    procs = [subprocess.Popen(cmd, env=env, cwd=cwd, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
-             for cmd, env in cmds_envs]
-    outs: List[str] = [""] * len(procs)
+    outputs (stdout+stderr combined) otherwise.  A world that dies with the
+    gloo starvation signature (see ``GLOO_FLAKE_SIGNATURE``) is relaunched up
+    to ``retries`` times before the failure propagates."""
+    for attempt in range(retries + 1):
+        procs = [subprocess.Popen(cmd, env=env, cwd=cwd,
+                                  stdout=subprocess.PIPE,
+                                  stderr=subprocess.STDOUT, text=True)
+                 for cmd, env in cmds_envs]
+        outs: List[str] = [""] * len(procs)
 
-    def _drain(i: int, p: subprocess.Popen) -> None:
-        outs[i] = p.stdout.read()
+        def _drain(i: int, p: subprocess.Popen) -> None:
+            outs[i] = p.stdout.read()
 
-    readers = [threading.Thread(target=_drain, args=(i, p), daemon=True)
-               for i, p in enumerate(procs)]
-    for t in readers:
-        t.start()
-    deadline = time.monotonic() + timeout
-    try:
-        for p in procs:
-            p.wait(timeout=max(deadline - time.monotonic(), 0.001))
-    finally:
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
-        for t in readers:  # EOF arrives once the process is dead
-            t.join(timeout=30)
-    for p, out in zip(procs, outs):
-        if p.returncode != 0:
-            raise RuntimeError(
-                f"worker rc={p.returncode}\n--- output tail ---\n{out[-4000:]}")
-    return outs
+        readers = [threading.Thread(target=_drain, args=(i, p), daemon=True)
+                   for i, p in enumerate(procs)]
+        for t in readers:
+            t.start()
+        deadline = time.monotonic() + timeout
+        try:
+            for p in procs:
+                p.wait(timeout=max(deadline - time.monotonic(), 0.001))
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            for t in readers:  # EOF arrives once the process is dead
+                t.join(timeout=30)
+        failed = [(p, out) for p, out in zip(procs, outs) if p.returncode != 0]
+        if not failed:
+            return outs
+        if (attempt < retries
+                and any(GLOO_FLAKE_SIGNATURE in out for _, out in failed)):
+            print(f"spawn_world: gloo rendezvous starved (attempt "
+                  f"{attempt + 1}/{retries + 1}); relaunching the world",
+                  flush=True)
+            continue
+        p, out = failed[0]
+        raise RuntimeError(
+            f"worker rc={p.returncode}\n--- output tail ---\n{out[-4000:]}")
+    raise AssertionError("unreachable")

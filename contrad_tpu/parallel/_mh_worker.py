@@ -198,6 +198,33 @@ def main(argv=None):
                           start_epoch=(starting_step - 1) // steps_per_epoch),
             place_fn=trainer.place_batch)
 
+    if world > 1:
+        # AOT-compile every step-program variant, then meet at a coordination
+        # barrier BEFORE the first execution.  XLA's gloo context init has a
+        # hard 30 s key-value-store deadline, and on a low-core host two
+        # ranks' concurrent multi-minute step compiles can skew their first
+        # collective by more than that (observed under CPU contention:
+        # "Gloo context initialization failed: GetKeyValue() timed out ...
+        # 29.99s").  ``lower().compile()`` builds the executables without
+        # running any collective, so after the barrier every rank enters the
+        # first gloo context within milliseconds of its peers.
+        # place_batch consumes this process's contiguous slice of the global
+        # batch in a multi-process world (see BatchIterator shard slicing).
+        dummy = trainer.place_batch(np.zeros(
+            (batch_size // world,) + IMG, dtype=dataset.images.dtype))
+        if args.trainer == "sg2":
+            for do_r1 in (False, True):
+                trainer.step_fn.lower(state, dummy, 0.0, do_r1).compile()
+        elif args.conditional:
+            y0 = trainer.place_batch(
+                np.zeros(batch_size // world, dtype=dataset.labels.dtype))
+            trainer.step_fn.lower(state, dummy, 0.0, y0).compile()
+        else:
+            trainer.step_fn.lower(state, dummy, 0.0, None).compile()
+        from jax._src.distributed import global_state as _gs
+
+        _gs.client.wait_at_barrier("contrad_aot_compile", 600_000)
+
     history = []
     for step in range(starting_step, starting_step + args.steps):
         batch, labels = next(loader)

@@ -12,7 +12,7 @@ from typing import Tuple
 import jax
 
 from contrad_tpu.config import Config, default_config_files, finalize_options, load_config
-from contrad_tpu.data import get_dataset
+from contrad_tpu.data import get_image_size
 from contrad_tpu.models import get_architecture
 from contrad_tpu.training.state import GANTrainState, create_train_state, make_optimizer
 from contrad_tpu.utils.checkpoint import has_checkpoint, restore_checkpoint
@@ -36,7 +36,9 @@ def load_run(
     finalize_options(cfg)
     opt = cfg.options
 
-    _, _, image_size = get_dataset(opt.dataset)
+    # Size only — the run's dataset files need not be present for eval CLIs
+    # (sampling/cDDLS never read them; lineval loads its own probe dataset).
+    image_size = get_image_size(opt.dataset)
     generator, discriminator = get_architecture(architecture, image_size)
 
     ema = architecture.startswith("stylegan2")

@@ -24,6 +24,10 @@ def parse_args():
     p.add_argument("logdir", type=str, help="Run logdir with the D checkpoint")
     p.add_argument("architecture", type=str)
     p.add_argument("--n_classes", default=10, type=int)
+    p.add_argument("--dataset", default=None, type=str,
+                   help="Override the probe dataset (default: derived from "
+                        "the run config's options.dataset, e.g. cifar10 -> "
+                        "cifar10_lin; reference test_lineval.py:134)")
     p.add_argument("--batch_size", default=256, type=int)
     p.add_argument("--epochs", default=100, type=int)
     p.add_argument("--ckpt", default="latest", type=str)
@@ -55,7 +59,9 @@ def main():
     cfg, _, discriminator, state, image_size = load_run(
         P.logdir, P.architecture, ckpt=P.ckpt)
     base = cfg.options.dataset
-    if base.startswith("cifar10") and not base.startswith("cifar100"):
+    if P.dataset is not None:
+        dataset = P.dataset
+    elif base.startswith("cifar10") and not base.startswith("cifar100"):
         dataset = "cifar10_lin"
     elif base.startswith("cifar100"):
         dataset = "cifar100_lin"

@@ -27,6 +27,7 @@ def _run(args, cwd=REPO, timeout=540, devices=None):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard1
 def test_train_gan_cli_end_to_end(tmp_path):
     logroot = str(tmp_path / "logs")
     r = _run([
@@ -83,6 +84,7 @@ def test_train_gan_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard1
 def test_train_stylegan2_cli_end_to_end(tmp_path):
     """train_stylegan2.py as a subprocess: lazy-R1 cadence, EMA gating
     (ema_start_k), halflife LR decay, in-loop FID on g_ema, then a --resume
@@ -158,6 +160,7 @@ def test_train_stylegan2_cli_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard1
 def test_train_stylegan2_contrad_cli(tmp_path):
     """train_stylegan2_contraD.py (the high-res recipe alias): its defaults
     (mode=contrad) apply, explicit flags win over them, and --no_lazy wires
@@ -184,6 +187,7 @@ def test_train_stylegan2_contrad_cli(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard2
 def test_eval_clis_end_to_end(tmp_path):
     """The full eval CLI chain off a trained logdir: sample generation ->
     stats precompute -> FID/IS scoring (reference test_tf_inception.py CLI
@@ -224,8 +228,10 @@ def test_eval_clis_end_to_end(tmp_path):
     assert fid_line and abs(float(fid_line[0].split()[1])) < 1e-3
     assert os.path.exists(os.path.join(logdir, "fid.log"))
 
-    # 3. linear evaluation CLI (reference test_lineval.py)
+    # 3. linear evaluation CLI (reference test_lineval.py); --dataset
+    # exercises the explicit probe-dataset override path
     r = _run(["test_lineval.py", logdir, "sndcgan", "--epochs", "1",
+              "--dataset", "synthetic_16",
               "--batch_size", "32", "--platform", "cpu"], timeout=900)
     assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
     lin = glob.glob(os.path.join(logdir, "lin_eval_*.npz"))

@@ -327,3 +327,41 @@ def test_image_folder_loader(tmp_path):
     empty.mkdir()
     with pytest.raises(FileNotFoundError):
         load_image_folder(str(empty), (16, 16, 3))
+
+
+def test_dump_toml_round_trips_effective_config(tmp_path):
+    """The logdir config copy is the EFFECTIVE config: dump_toml(load+override)
+    must re-load to the same dict (a raw file copy would drop --override,
+    so load_run would reconstruct the wrong run)."""
+    import tomllib
+
+    from contrad_tpu.config import (default_config_files, dump_toml,
+                                    finalize_options, load_config)
+
+    cfg = load_config(
+        default_config_files("configs/gan/cifar10/c10_b512.toml"),
+        ["options.dataset=synthetic_32", "options.max_steps=20000"])
+    finalize_options(cfg)
+    text = dump_toml(cfg)
+    back = tomllib.loads(text)
+    assert back["options"]["dataset"] == "synthetic_32"
+    assert back["options"]["max_steps"] == 20000
+    # full round trip (tuples come back as lists; normalize)
+    def norm(d):
+        return {k: (norm(v) if isinstance(v, dict)
+                    else list(v) if isinstance(v, (list, tuple)) else v)
+                for k, v in d.items()}
+    assert norm(back) == norm(cfg.to_dict())
+
+
+def test_get_image_size_without_data():
+    from contrad_tpu.data import get_image_size
+
+    assert get_image_size("cifar10") == (32, 32, 3)
+    assert get_image_size("cifar100_lin") == (32, 32, 3)
+    assert get_image_size("celeba128") == (128, 128, 3)
+    assert get_image_size("afhq_dog") == (512, 512, 3)
+    assert get_image_size("synthetic_16") == (16, 16, 3)
+    assert get_image_size("synthetic_32_50000") == (32, 32, 3)
+    with pytest.raises(NotImplementedError):
+        get_image_size("imagenet")

@@ -39,6 +39,7 @@ def _spawn_world(cmds_envs, timeout=900):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard2
 def test_two_process_training_parity(tmp_path):
     """2 processes x 4 devices run 4 real ContraD steps through the multihost
     production path and match a 1-process x 8-device run step for step; the
@@ -112,6 +113,7 @@ def _parity_vs_single_process(hists, what):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard3
 def test_two_process_stylegan2_parity(tmp_path):
     """The StyleGAN2 trainer — R1 grad-of-grad, EMA accumulate with the
     ema-start gate, lazy cadence — in a REAL 2-process world matches the
@@ -154,6 +156,7 @@ def test_two_process_stylegan2_parity(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard2
 def test_two_process_conditional_ncritic_parity(tmp_path):
     """Conditional SNDCGAN (projection y-head, real labels through the
     sharded loader + place_global_batch, fake labels sampled in-step) with
@@ -185,6 +188,7 @@ def test_two_process_conditional_ncritic_parity(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard3
 def test_four_process_world(tmp_path):
     """A 4-process x 2-device world (the largest world yet spawned) runs the
     ContraD step, matches the 1-process 8-device oracle, and lands a
@@ -217,6 +221,7 @@ def test_four_process_world(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard2
 def test_two_process_cli(tmp_path):
     """The full ``train_gan.py --multihost`` CLI with process_count == 2:
     both ranks resolve the SAME pinned logdir, only rank 0 writes logs,
@@ -298,6 +303,7 @@ def test_spawn_world_drains_pipes_concurrently(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard2
 def test_two_process_collective_fid_parity(tmp_path):
     """In-loop FID in a 2-process world: the fused sampler+embedder runs as
     one collective SPMD program both processes join, and the score matches
@@ -337,6 +343,7 @@ def test_two_process_collective_fid_parity(tmp_path):
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard3
 def test_two_process_collective_resume_parity(tmp_path):
     """Collective orbax save -> collective restore in a NEW 2-process world:
     a run saved at an epoch boundary and resumed for 4 more steps must match
@@ -368,8 +375,13 @@ def test_two_process_collective_resume_parity(tmp_path):
 
     resumed = json.load(open(m_res))
     cont = json.load(open(m_cont))
-    assert len(resumed) == 4 and len(cont) == 8
+    # 4 per-step metric dicts + the final param-norm checksum entry (8 + 1
+    # for the continuous oracle). Aligning cont[4:] with resumed compares
+    # steps 5..8 pairwise AND the final checksums — the norms certify the
+    # full weight trajectory (incl. EMA) survived the checkpoint splice.
+    assert len(resumed) == 5 and len(cont) == 9
     for step, (a, b) in enumerate(zip(cont[4:], resumed), start=5):
+        assert a.keys() == b.keys(), f"step {step}: metric keys"
         for key in a:
             np.testing.assert_allclose(
                 a[key], b[key], rtol=1e-4, atol=1e-5,

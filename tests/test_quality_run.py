@@ -11,6 +11,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 @pytest.mark.slow
+@pytest.mark.slow_shard1
 def test_quality_run_dry(tmp_path):
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)

@@ -23,6 +23,7 @@ from __future__ import annotations
 import argparse
 import os
 import shutil
+import sys
 import time
 from pathlib import Path
 
@@ -130,7 +131,8 @@ def main():
     import jax.numpy as jnp
 
     from contrad_tpu.augment import get_augment
-    from contrad_tpu.config import default_config_files, finalize_options, load_config
+    from contrad_tpu.config import (default_config_files, dump_toml,
+                                    finalize_options, load_config)
     from contrad_tpu.data import get_dataset
     from contrad_tpu.data.core import make_train_loader
     from contrad_tpu.evaluate import FixedSampleGeneration, ImageGrid
@@ -252,7 +254,8 @@ def main():
                         rand=P.seed if world > 1 else None,
                         mute=rank != 0)
         if rank == 0:
-            shutil.copy2(P.config, os.path.join(logger.logdir, "config.toml"))
+            with open(os.path.join(logger.logdir, "config.toml"), "w") as f:
+                f.write(dump_toml(cfg))  # EFFECTIVE config incl. --override
 
     if P.resume:
         ckpt_name = find_restorable(P.resume)
@@ -274,6 +277,7 @@ def main():
     state = trainer.place_state(state)
     starting_step = int(state.step) + 1
 
+    logger.log(f"argv: {' '.join(sys.argv)}")  # full CLI incl. seed/levers
     logger.log(f"# Params - G: {count_parameters(state.g_params)}, "
                f"D: {count_parameters(state.d_params)}")
     logger.log(str(opt.to_dict()))
