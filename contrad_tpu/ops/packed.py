@@ -189,6 +189,15 @@ def packed_conv(
     f_out-packed output of the original (stride, pad, lhs_dilation) conv."""
     wp, S, P = pack_conv_kernel(w.astype(x.dtype), f_in, f_out, stride, pad,
                                 lhs_dilation)
+    if wp.shape[0] == wp.shape[1] == 1 and S == 1 and P == (0, 0):
+        # 1x1/stride-1 packed conv (the FromRGB stem) is a per-pixel matmul.
+        # Emitting it as dot_general instead of conv lets XLA keep the
+        # channel-minor layout on both sides: as a conv it ran at 2.4% MXU
+        # with layout copies before/after (round-5 512^2 trace, the two
+        # [24,256,256,128] FromRGB ops + their packed-RGB "data formatting"
+        # neighbors); the dW transpose becomes a plain xT@dy contraction.
+        return jax.lax.dot_general(
+            x, wp[0, 0], (((x.ndim - 1,), (0,)), ((), ())))
     return jax.lax.conv_general_dilated(
         x, wp, (S, S), (P, P),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

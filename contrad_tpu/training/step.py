@@ -239,10 +239,15 @@ class GANTrainer:
               labels=None):
         """images: (n_critic * B, H, W, C), uint8 or float in [0,1];
         labels: (n_critic * B,) int class labels (conditional D only)."""
-        images = _to_float(images, self.image_dtype)
         if self.pack_images > 1:
+            # Pack BEFORE the float convert: space_to_depth is a pure
+            # permutation, so it commutes with the elementwise conversion,
+            # and permuting uint8 moves 1/4 (vs f32) of the bytes of the
+            # hottest tensor in the 512^2 step (round-5 trace: the f32-side
+            # pack was a 0.7 ms "data formatting" copy).
             from contrad_tpu.ops.packed import space_to_depth
             images = space_to_depth(images, self.pack_images)
+        images = _to_float(images, self.image_dtype)
         rng = state.rng
         if self.real_aug_fn is not None:
             rng, ra_rng = jax.random.split(rng)
@@ -451,10 +456,15 @@ class StyleGAN2Trainer(GANTrainer):
 
     def _sg2_step(self, state: GANTrainState, images: jax.Array,
                   ema_decay, do_r1: bool):
-        images = _to_float(images, self.image_dtype)
         if self.pack_images > 1:
+            # Pack BEFORE the float convert: space_to_depth is a pure
+            # permutation, so it commutes with the elementwise conversion,
+            # and permuting uint8 moves 1/4 (vs f32) of the bytes of the
+            # hottest tensor in the 512^2 step (round-5 trace: the f32-side
+            # pack was a 0.7 ms "data formatting" copy).
             from contrad_tpu.ops.packed import space_to_depth
             images = space_to_depth(images, self.pack_images)
+        images = _to_float(images, self.image_dtype)
         rng = state.rng
         if self.real_aug_fn is not None:
             rng, ra_rng = jax.random.split(rng)
