@@ -16,8 +16,12 @@ regressions in those paths are driver-visible too):
   * stylegan2_32_b64_f32_ms   — the small32 StyleGAN2+ContraD step
     (EXPERIMENTS.md:27-28); guards the modulated-conv/upfirdn2d stack.
   * sndcgan_32_b512_bf16_imgs_s — the flagship step with bf16 activation
-    storage: the step is HBM-bandwidth-bound at f32 (BASELINE.md round-3
-    roofline), so this is the production configuration.
+    storage (the step is HBM-bandwidth-bound at f32, BASELINE.md round-3
+    roofline).
+  * sndcgan_32_b512_prod_imgs_s — the PRODUCTION configuration: bf16
+    activations + the full Adam byte-lever stack (mu/nu storage and dW cast
+    bf16, f32 master params) — certified against f32 with a 20k-step A/B
+    (BASELINE.md round-5).
   * fid10k_feat_s — wall time to produce 10k FID features through the
     mesh-sharded fused sampler+embedder (evaluate/sharded.py, moments
     embedder); guards the 12x eval-loop win over the reference's batch-50
@@ -74,8 +78,9 @@ def _time_steps(trainer, state, batch, steps, trials, warmup=3, **step_kwargs):
 
 
 def bench_flagship(dtype=None, steps=MEASURE_STEPS, trials=TRIALS,
-                   return_trainer=False):
+                   return_trainer=False, opt_bf16=False):
     import jax
+    import jax.numpy as jnp
     import numpy as np
 
     from contrad_tpu.augment import get_augment
@@ -85,8 +90,15 @@ def bench_flagship(dtype=None, steps=MEASURE_STEPS, trials=TRIALS,
 
     kwargs = {} if dtype is None else {"dtype": dtype}
     generator, discriminator = get_architecture("sndcgan", IMAGE_SIZE, **kwargs)
-    g_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
-    d_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True)
+    # opt_bf16 = the full byte-lever stack (Adam mu/nu storage + dW cast all
+    # bf16; params stay f32 masters) — the documented production config,
+    # certified vs f32 at 20k steps (BASELINE.md round-5 A/B).
+    opt_kw = (dict(mu_dtype=jnp.bfloat16, nu_dtype=jnp.bfloat16,
+                   grads_dtype=jnp.bfloat16) if opt_bf16 else {})
+    g_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True,
+                           **opt_kw)
+    d_opt = make_optimizer(2e-4, (0.5, 0.999), warmup=3000, use_warmup=True,
+                           **opt_kw)
     mesh = get_mesh()
     n_chips = len(mesh.devices.ravel())
 
@@ -178,6 +190,9 @@ def main():
     secondary["sndcgan_32_b512_bf16_imgs_s"] = round(bench_flagship(
         dtype=jnp.bfloat16, steps=25, trials=2), 1)
     _mark("flagship bf16 done")
+    secondary["sndcgan_32_b512_prod_imgs_s"] = round(bench_flagship(
+        dtype=jnp.bfloat16, steps=25, trials=2, opt_bf16=True), 1)
+    _mark("flagship production (full bf16 lever stack) done")
     secondary["stylegan2_32_b64_f32_ms"] = round(bench_stylegan2(
         (32, 32, 3), "stylegan2", 64, "simclr", jnp.float32,
         steps=30, trials=2), 1)
