@@ -156,16 +156,13 @@ def color_jitter(brightness=0.4, contrast=0.4, saturation=0.4, hue=0.1,
     def fn(rng, x):
         r_order, r_c, r_hsv = jax.random.split(rng, 3)
         contrast_first = jax.random.bernoulli(r_order, 0.5)
-        # Both transform orders + select (batch-level randomness, reference
-        # color_jitter.py:66-70). A lax.cond here put a conditional boundary
-        # mid-augment-chain: the operand/result had to materialize in HBM
-        # with layout copies on both sides (0.75 ms/step in the 512^2 trace)
-        # while the branches are pure VPU math on an HBM-bound tensor —
-        # computing both orders fuses into the single pass over x.
-        return jnp.where(
+        # lax.cond: evaluate only one transform order (batch-level randomness,
+        # reference color_jitter.py:66-70)
+        return jax.lax.cond(
             contrast_first,
-            adjust_hsv(r_hsv, adjust_contrast(r_c, x)),
-            adjust_contrast(r_c, adjust_hsv(r_hsv, x)))
+            lambda im: adjust_hsv(r_hsv, adjust_contrast(r_c, im)),
+            lambda im: adjust_contrast(r_c, adjust_hsv(r_hsv, im)),
+            x)
 
     return fn
 
