@@ -189,15 +189,13 @@ def packed_conv(
     f_out-packed output of the original (stride, pad, lhs_dilation) conv."""
     wp, S, P = pack_conv_kernel(w.astype(x.dtype), f_in, f_out, stride, pad,
                                 lhs_dilation)
-    if wp.shape[0] == wp.shape[1] == 1 and S == 1 and P == (0, 0):
-        # 1x1/stride-1 packed conv (the FromRGB stem) is a per-pixel matmul.
-        # Emitting it as dot_general instead of conv lets XLA keep the
-        # channel-minor layout on both sides: as a conv it ran at 2.4% MXU
-        # with layout copies before/after (round-5 512^2 trace, the two
-        # [24,256,256,128] FromRGB ops + their packed-RGB "data formatting"
-        # neighbors); the dW transpose becomes a plain xT@dy contraction.
-        return jax.lax.dot_general(
-            x, wp[0, 0], (((x.ndim - 1,), (0,)), ((), ())))
+    # NOTE: a dot_general fast path for the 1x1/stride-1 case (FromRGB stem)
+    # was tried on trace reasoning ("2.4% MXU + layout copies as a conv")
+    # and MEASURED SLOWER in the full 512^2 step: 115.3 ms with it vs
+    # 102.9 ms as a conv (bf16 b8 packed, tools/ablate_512.py) — XLA's
+    # layout/fusion choices around conv_general_dilated beat the hand-picked
+    # contraction once the backward pass is included. Keep 1x1 packed convs
+    # on conv_general_dilated.
     return jax.lax.conv_general_dilated(
         x, wp, (S, S), (P, P),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -40,6 +40,9 @@ def main():
                    help="gradient dtype entering Adam (dW byte-cut)")
     p.add_argument("--full_only", action="store_true",
                    help="skip component timings, report FULL STEP only")
+    p.add_argument("--no_pack", action="store_true",
+                   help="disable the packed-image augment path "
+                        "(= train_stylegan2.py --no_packed_aug)")
     args = p.parse_args()
     dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
     mu_dtype = jnp.bfloat16 if args.mu == "bf16" else None
@@ -52,7 +55,8 @@ def main():
                         mu_dtype=mu_dtype, grads_dtype=grads_dtype)
     do = make_optimizer(2e-3, (0.0, 0.99), flat=args.flat_opt,
                         mu_dtype=mu_dtype, grads_dtype=grads_dtype)
-    pack = min(g.packed_io, d.packed_io)  # packed-image path (as the CLI)
+    # packed-image path (as the CLI); --no_pack reverts for A/B
+    pack = 1 if args.no_pack else min(g.packed_io, d.packed_io)
     tr = StyleGAN2Trainer(
         g, d, mode="contrad", augment_fn=get_augment("simclr_hq", pack=pack),
         g_optimizer=go, d_optimizer=do, loss_type="nonsat",
